@@ -1,0 +1,226 @@
+"""Mention–entity local scoring: keyphrase-match similarity and the
+prior-switched ensemble.
+
+Faithful re-implementation (from scratch, in Python) of:
+- the per-document inverted index (``util/InputTextInvertedIndex.java``),
+- the EMNLP-2011 keyphrase-match score
+  (``measure/KeyphrasesBasedMentionEntitySimilarityMeasure.java:57-224``),
+- the MI / IDF keyword-weight variants
+  (``measure/UnnormalizedKeyphrasesBased{MI,IDF}Similarity.java``),
+- global min-max rescaling + the prior-switched weighted ensemble
+  (``similarity/EnsembleMentionEntitySimilarity.java:114-316``).
+
+Everything here is per-document (one conversation) and pure Python/numpy;
+the Spark layer invokes it inside a grouped ``applyInPandas`` UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .kb import KBData
+from .mincover import min_cover
+from .text import SpottedMention
+
+__all__ = [
+    "InvertedIndex",
+    "keyphrase_similarity",
+    "EnsembleWeights",
+    "EnsembleScorer",
+    "normalize_to_sum",
+    "rescale",
+]
+
+
+class InvertedIndex:
+    """token-id -> positions, in two coordinate systems: including and
+    excluding stopwords (InputTextInvertedIndex.java:22-81).
+
+    Unknown words all share id 0, which is a stopword id (the reference's
+    unknown-word noEntryValue collides with unknown stopword ids — an
+    accidental but load-bearing behavior we replicate).
+    """
+
+    def __init__(self, token_ids: list[int], kb: KBData, remove_stopwords: bool = True):
+        self.full: dict[int, list[int]] = {}
+        self.nostop: dict[int, list[int]] = {}
+        nostop_pos = 0
+        for pos, tok in enumerate(token_ids):
+            self.full.setdefault(tok, []).append(pos)
+            if not remove_stopwords or not kb.is_stopword(tok):
+                self.nostop.setdefault(tok, []).append(nostop_pos)
+                nostop_pos += 1
+
+    def contains(self, word: int, m_start: int, m_end: int) -> bool:
+        if word not in self.nostop:
+            return False
+        return any(p < m_start or p > m_end for p in self.full[word])
+
+    def positions(self, word: int, m_start: int, m_end: int) -> list[int]:
+        """No-stopword-coordinate positions outside the mention span; the
+        mention length is subtracted for positions after the mention
+        (InputTextInvertedIndex.getPositions)."""
+        m_len = m_end - m_start + 1
+        out: list[int] = []
+        full = self.full[word]
+        nostop = self.nostop[word]
+        for i, pos in enumerate(full):
+            if pos < m_start:
+                out.append(nostop[i])
+            elif pos > m_end:
+                out.append(nostop[i] - m_len)
+        return out
+
+
+def keyphrase_similarity(
+    mention: SpottedMention,
+    entity: str,
+    kb: KBData,
+    index: InvertedIndex,
+    weight: str,  # "mi" | "idf"
+) -> float:
+    """KeyphrasesBasedMentionEntitySimilarityMeasure.calcSimilarity.
+
+    Per keyphrase: score = phraseImportance * (|isec| / minCover)
+                   * (matchedKeywordScore / allKeywordScore)^2, clamped >= 0,
+    summed over keyphrases with source weight 1.0.
+    """
+    kps = kb.entity_kps.get(entity)
+    if not kps:
+        return 0.0
+    m_start, m_end = mention.start_token, mention.end_token
+    sim = 0.0
+    for kp in kps:
+        common_positions: list[list[int]] = []
+        all_score = 0.0
+        common_score = 0.0
+        phrase_importance = 0.0
+        for kw in kb.kp_tokens.get(kp, ()):  # keyphrase-token expansion (K2)
+            if kb.is_stopword(kw):
+                continue
+            expanded = kb.expand(kw)
+            kw_score = kb.kw_mi(entity, kw) if weight == "mi" else kb.kw_idf(kw)
+            phrase_importance += kw_score
+            all_score += kw_score
+            matched = -1
+            if index.contains(kw, m_start, m_end):
+                matched = kw
+            elif index.contains(expanded, m_start, m_end):
+                matched = expanded
+            if matched != -1:
+                common_positions.append(index.positions(matched, m_start, m_end))
+                common_score += kw_score
+        isec = len(common_positions)
+        if isec == 0:
+            continue
+        cover = float(min_cover(common_positions).length)
+        score = 0.0
+        if all_score != 0.0:
+            score = phrase_importance * (isec / cover) * (common_score / all_score) ** 2
+        if math.isnan(score):
+            score = 0.0
+        sim += max(0.0, score)  # source weight defaults to 1.0
+    return sim
+
+
+def normalize_to_sum(scores: dict) -> dict:
+    """CollectionUtils.normalizeValuesToSum: values / sum; unchanged if sum==0."""
+    total = sum(scores.values())
+    if total == 0:
+        return scores
+    return {k: v / total for k, v in scores.items()}
+
+
+def rescale(value: float, lo: float, hi: float) -> float:
+    """EnsembleMentionEntitySimilarity.rescale (EnsembleMES.java:297-316)."""
+    if value < lo:
+        return lo
+    if value > hi:
+        return hi
+    if lo == hi:
+        return hi
+    return (value - lo) / (hi - lo)
+
+
+@dataclass
+class EnsembleWeights:
+    """Weight configuration for the switched ensemble, defaults from
+    settings/similarity/conll/SwitchedKP.properties:1-4."""
+
+    mi_with_prior: float = 0.10123683065
+    idf_with_prior: float = 0.33359024871
+    prior_weight: float = 0.56517292063
+    mi_no_prior: float = 0.58132103337
+    idf_no_prior: float = 0.41867896662
+    prior_threshold: float = 0.9
+
+
+class EnsembleScorer:
+    """Precomputes raw MI/IDF keyphrase scores for every (mention, candidate)
+    pair, derives per-measure global min/max, then serves switched-ensemble
+    similarities (EnsembleMentionEntitySimilarity)."""
+
+    def __init__(
+        self,
+        mentions: list[SpottedMention],
+        kb: KBData,
+        token_ids: list[int],
+        weights: EnsembleWeights,
+    ):
+        self.kb = kb
+        self.weights = weights
+        self.index = InvertedIndex(token_ids, kb, remove_stopwords=True)
+        self.raw: dict[str, dict[int, dict[str, float]]] = {"mi": {}, "idf": {}}
+        self.minmax: dict[str, tuple[float, float]] = {}
+        self.priors: dict[int, dict[str, float]] = {}
+        self.best_prior: dict[int, float] = {}
+        for mi, m in enumerate(mentions):
+            from .text import conflate
+
+            priors = kb.priors(conflate(m.surface))
+            self.priors[mi] = priors
+            self.best_prior[mi] = max(priors.values(), default=0.0)
+            for measure in ("mi", "idf"):
+                scores = {
+                    cand: keyphrase_similarity(m, cand, kb, self.index, measure)
+                    for cand, _prior in m.candidates
+                }
+                self.raw[measure][mi] = scores
+        for measure in ("mi", "idf"):
+            # Java inits min to Double.MAX_VALUE and max to 0.0
+            lo, hi = float("inf"), 0.0
+            for scores in self.raw[measure].values():
+                for s in scores.values():
+                    lo = min(lo, s)
+                    hi = max(hi, s)
+            self.minmax[measure] = (lo, hi)
+
+    def use_prior(self, mention_idx: int, mention: SpottedMention) -> bool:
+        """Prior switch: bestPrior > threshold AND >= 20% of candidates have
+        a prior (EnsembleMES.shouldIncludePrior, threshold hardcoded 0.2)."""
+        w = self.weights
+        if w.prior_threshold <= 0.0:
+            return True  # non-switched: prior always used
+        if self.best_prior[mention_idx] <= w.prior_threshold:
+            return False
+        cands = mention.candidates
+        if not cands:
+            return False
+        with_prior = sum(
+            1 for c, _p in cands if self.priors[mention_idx].get(c, 0.0) > 0.0
+        )
+        return (with_prior / len(cands)) >= 0.2
+
+    def similarity(self, mention_idx: int, mention: SpottedMention, entity: str) -> float:
+        w = self.weights
+        use_prior = self.use_prior(mention_idx, mention)
+        mi = rescale(self.raw["mi"][mention_idx][entity], *self.minmax["mi"])
+        idf = rescale(self.raw["idf"][mention_idx][entity], *self.minmax["idf"])
+        if use_prior:
+            sim = mi * w.mi_with_prior + idf * w.idf_with_prior
+            if w.prior_weight > 0.0:
+                sim += self.priors[mention_idx].get(entity, 0.0) * w.prior_weight
+        else:
+            sim = mi * w.mi_no_prior + idf * w.idf_no_prior
+        return sim

@@ -1,0 +1,217 @@
+"""Golden-parity tests for the core disambiguation math, transcribed from
+the reference JUnit suite (values from FIXTURES.md §3):
+
+- WeightComputation / IDF formulas
+- PriorProbabilityTest.java:49-57
+- KeyphrasesBasedSimilarityTest.java:64-66,103-105
+- MilneWittenEntityEntitySimilarityTest.java:40-52
+- EnsembleMentionEntitySimilarityTest.java:97-101
+- CocktailPartyTest.java:73-91 (scores) and :94-151 (confidence)
+- DisambiguatorTest.java:46-157 (mappings + maxEntityRank variants)
+"""
+
+import math
+
+import pytest
+
+from aida_spark.core.disambiguate import (
+    DisambiguationConfig,
+    disambiguate_document,
+    prepare,
+)
+from aida_spark.core.graph import milne_witten
+from aida_spark.core.kb import OOKBE
+from aida_spark.core.scoring import (
+    EnsembleScorer,
+    EnsembleWeights,
+    InvertedIndex,
+    keyphrase_similarity,
+)
+from aida_spark.core.text import SpottedMention, conflate
+from aida_spark.core.weights import compute_mi, compute_npmi, keyword_idf
+from aida_spark.fixtures import GOLDEN_SENTENCE, build_kb
+
+
+@pytest.fixture(scope="module")
+def kb():
+    return build_kb()
+
+
+def _mention(surface, start, end, candidates=()):
+    m = SpottedMention(surface, start, end, 0, 0)
+    m.candidates = list(candidates)
+    return m
+
+
+class TestWeights:
+    def test_npmi_bounds(self):
+        assert compute_npmi(10, 10, 0, 100) == -1.0
+        assert compute_npmi(10, 10, 10, 100) == pytest.approx(1.0)
+
+    def test_mi_symmetry(self):
+        assert compute_mi(10, 50, 5, 1000) == compute_mi(50, 10, 5, 1000)
+
+    def test_idf_integer_division(self):
+        # the reference computes log2 with Java int division
+        assert keyword_idf(2_651_987, 50) == pytest.approx(
+            math.log2(2_651_987 // 50)
+        )
+
+
+class TestPriors:
+    def test_fixture_priors(self, kb):
+        pk = kb.priors(conflate("Kashmir"))
+        assert pk["Kashmir"] == pytest.approx(0.9, abs=1e-3)
+        assert sum(pk.values()) == pytest.approx(1.0, abs=1e-3)
+        pp = kb.priors(conflate("Page"))
+        assert pp["Jimmy_Page"] == pytest.approx(0.3, abs=1e-3)
+        assert sum(pp.values()) == pytest.approx(1.0, abs=1e-3)
+        assert pp["Jimmy_Page"] < pp["Larry_Page"]
+
+
+class TestKeyphraseSimilarity:
+    TEXT = "When Page played at Knebworth , his Les Paul was uniquely tuned ."
+    CAPS = "WHEN Page PLAYED AT Knebworth , HIS Les Paul WAS UNIQUELY TUNED ."
+
+    def _sims(self, kb, text):
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        idx = InvertedIndex(ids, kb)
+        m = _mention("", 0, 0)
+        return [
+            keyphrase_similarity(m, e, kb, idx, "mi")
+            for e in ("Kashmir", "Kashmir_(song)", "Jimmy_Page")
+        ]
+
+    def test_mi_similarity(self, kb):
+        s1, s2, s3 = self._sims(kb, self.TEXT)
+        assert s1 < s2
+        assert s1 == pytest.approx(0.0, abs=1e-9)
+        assert s2 == pytest.approx(0.00001517, abs=1e-8)
+        assert s3 == pytest.approx(0.00009718, abs=1e-8)
+
+    def test_caps_match_via_expansion(self, kb):
+        s1, s2, s3 = self._sims(kb, self.CAPS)
+        assert s2 == pytest.approx(0.00001517, abs=1e-8)
+        assert s3 == pytest.approx(0.00009718, abs=1e-8)
+
+    def test_stopword_only_keyphrase_scores_zero(self, kb):
+        text = "Page played and the crowd went wild ."
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        idx = InvertedIndex(ids, kb)
+        sim = keyphrase_similarity(_mention("", 0, 0), "Stopword_Page", kb, idx, "mi")
+        assert sim == pytest.approx(0.0, abs=1e-11)
+
+
+class TestMilneWitten:
+    def test_goldens(self, kb):
+        def mw(a, b):
+            return milne_witten(
+                kb.inlinks.get(a, ()), kb.inlinks.get(b, ()), kb.collection_size
+            )
+
+        sim_ab = mw("Kashmir_(song)", "Jimmy_Page")
+        sim_ac = mw("Kashmir_(song)", "Larry_Page")
+        sim_bd = mw("Jimmy_Page", "Knebworth_Festival")
+        sim_cd = mw("Larry_Page", "Knebworth_Festival")
+        sim_ad = mw("Kashmir_(song)", "Knebworth_Festival")
+        assert sim_ab > sim_ac
+        assert sim_ad < sim_ab
+        assert sim_bd > sim_cd
+        assert sim_ab == pytest.approx(0.9493, abs=1e-4)
+        assert sim_bd == pytest.approx(0.8987, abs=1e-4)
+        assert sim_ad == pytest.approx(0.9197, abs=1e-4)
+        assert sim_cd == pytest.approx(0.0, abs=1e-3)
+
+
+class TestEnsemble:
+    def test_goldens(self, kb):
+        text = "When Page PLAYED Kashmir at Knebworth , his Les Paul was uniquely tuned ."
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        m1 = _mention("Page", 1, 1, [("Jimmy_Page", 0.3), ("Larry_Page", 0.7)])
+        m2 = _mention("Kashmir", 3, 3, [("Kashmir", 0.9), ("Kashmir_(song)", 0.1)])
+        w = EnsembleWeights(
+            mi_with_prior=0.475,
+            idf_with_prior=0.025,
+            prior_weight=0.5,
+            mi_no_prior=0.95,
+            idf_no_prior=0.05,
+            prior_threshold=0.8,
+        )
+        es = EnsembleScorer([m1, m2], kb, ids, w)
+        assert es.similarity(0, m1, "Jimmy_Page") == pytest.approx(1.0, abs=1e-9)
+        assert es.similarity(1, m2, "Kashmir_(song)") == pytest.approx(
+            0.12748, abs=1e-5
+        )
+
+
+class TestCocktailParty:
+    def test_graph_scores(self, kb):
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(doc, kb, DisambiguationConfig(algorithm="cp"))
+        by_surface = {r.mention.surface: r for r in res}
+        assert by_surface["Page"].entity == "Jimmy_Page"
+        assert by_surface["Page"].score == pytest.approx(0.89470, abs=1e-5)
+        assert by_surface["Kashmir"].entity == "Kashmir_(song)"
+        assert by_surface["Kashmir"].score == pytest.approx(0.55502, abs=1e-5)
+        assert by_surface["Knebworth"].entity == "Knebworth_Festival"
+        assert by_surface["Knebworth"].score == pytest.approx(0.71833, abs=1e-5)
+        assert by_surface["Les Paul"].entity == OOKBE
+        assert by_surface["Les Paul"].score == pytest.approx(0.0, abs=1e-5)
+
+    def test_graph_confidence(self, kb):
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(
+            doc,
+            kb,
+            DisambiguationConfig(
+                algorithm="cp", compute_confidence=True, confidence_balance=1.0
+            ),
+        )
+        by_surface = {r.mention.surface: r for r in res}
+        assert by_surface["Page"].entity == "Jimmy_Page"
+        assert by_surface["Page"].score == pytest.approx(1.0, abs=1e-5)
+        assert by_surface["Kashmir"].score == pytest.approx(1.0, abs=1e-5)
+        assert by_surface["Knebworth"].score == pytest.approx(1.0, abs=1e-5)
+        assert by_surface["Les Paul"].entity == OOKBE
+        assert by_surface["Les Paul"].score == pytest.approx(0.95, abs=1e-5)
+
+    def test_cpsc_mapping(self, kb):
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(doc, kb, DisambiguationConfig(algorithm="cpsc"))
+        mapping = {r.mention.surface: r.entity for r in res}
+        assert mapping == {
+            "Page": "Jimmy_Page",
+            "Kashmir": "Kashmir_(song)",
+            "Knebworth": "Knebworth_Festival",
+            "Les Paul": OOKBE,
+        }
+
+    def test_max_entity_rank_excludes_all(self, kb):
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(
+            doc, kb, DisambiguationConfig(algorithm="cpsc", max_entity_rank=-0.1)
+        )
+        assert all(r.entity == OOKBE for r in res)
+
+    def test_max_entity_rank_excludes_low_ranked(self, kb):
+        # rank(Knebworth_Festival) = 6/7 > 0.8 -> OOKBE; others still mapped
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(
+            doc, kb, DisambiguationConfig(algorithm="cpsc", max_entity_rank=0.8)
+        )
+        mapping = {r.mention.surface: r.entity for r in res}
+        assert mapping["Knebworth"] == OOKBE
+        assert mapping["Page"] == "Jimmy_Page"
+        assert mapping["Kashmir"] == "Kashmir_(song)"
+        assert mapping["Les Paul"] == OOKBE
+
+
+class TestPriorOnly:
+    def test_prior_only_picks_larry(self, kb):
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(doc, kb, DisambiguationConfig(technique="prior"))
+        mapping = {r.mention.surface: r.entity for r in res}
+        assert mapping["Page"] == "Larry_Page"  # prior 0.7 beats 0.3
+        assert mapping["Kashmir"] == "Kashmir"  # prior 0.9
+        assert mapping["Knebworth"] == "Knebworth_Festival"
+        assert mapping["Les Paul"] == OOKBE
