@@ -77,11 +77,16 @@ class KBData:
         entries = self.dictionary.get(conflated_mention)
         if entries is None:
             return None
-        return [
-            (e, p)
-            for (e, p) in entries
-            if self.entity_rank.get(e, 0.0) <= max_entity_rank
-        ]
+        # canonical name order: candidate iteration order breaks ties in the
+        # exhaustive search, so it must be deterministic across engines
+        return sorted(
+            (
+                (e, p)
+                for (e, p) in entries
+                if self.entity_rank.get(e, 0.0) <= max_entity_rank
+            ),
+            key=lambda ep: ep[0],
+        )
 
     def priors(self, conflated_mention: str) -> dict[str, float]:
         entries = self.dictionary.get(conflated_mention) or []

