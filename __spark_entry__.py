@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — the full AIDA-style KG-construction pipeline
+  (mention spotting -> candidate join -> per-conversation CocktailParty
+  coherence solve -> triples) over transcripts synthesized from
+  /root/testdata/sf0.001/documents.parquet plus the reference golden
+  conversation.
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2 +
+  the training-data operators), each runnable at any sf dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL. Fixture-driven AIDA queries use
+  literal VALUES oracles (their golden outputs are pinned to the reference
+  JUnit values); operators whose exact float semantics can't be reproduced
+  in DuckDB omit the oracle (rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +18,311 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+_PIPELINES: dict = {}
+
+
+def _pipeline(spark: SparkSession, technique: str = "graph"):
+    from aida_spark.core.disambiguate import DisambiguationConfig
+    from aida_spark.pipeline import AidaPipeline, PipelineConfig
+    from aida_spark.fixtures import kb_tables
+
+    key = (id(spark), technique)
+    if key not in _PIPELINES:
+        cfg = PipelineConfig(
+            disambiguation=DisambiguationConfig(technique=technique)
+        )
+        _PIPELINES[key] = AidaPipeline(spark, kb_tables(), cfg)
+    return _PIPELINES[key]
+
+
+def _golden_df(spark: SparkSession) -> DataFrame:
+    from aida_spark.fixtures import golden_transcript
+
+    return spark.createDataFrame(golden_transcript())
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples from transcripts (documents as single-turn
+    conversations + the golden fixture conversation + synthetic multi-turn
+    conversations over the fixture universe)."""
+    from aida_spark.fixtures import golden_transcript, synth_transcripts
+    import pandas as pd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    doc_turns = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    local = pd.concat([golden_transcript(), synth_transcripts(20, 6, seed=1)])
+    transcripts = doc_turns.unionByName(
+        spark.createDataFrame(local).withColumn(
+            "turn_idx", F.col("turn_idx").cast("int")
+        )
+    )
+    return _pipeline(spark).run(transcripts)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_aida_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pipeline(spark)
+        .run(_golden_df(spark))
+        .select("subj", "pred", "obj")
+        .orderBy("subj")
+    )
+
+
+def _q_aida_prior_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pipeline(spark, technique="prior")
+        .run(_golden_df(spark))
+        .select("subj", "pred", "obj")
+        .orderBy("subj")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def _q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("long").alias("n_punct"),
+        F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("long").alias("n_digits"),
+        F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("long").alias("n_upper"),
+    )
+
+
+def _q_word_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+    )
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def _q_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return counts.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select("user_id", "event_type", "n", "rnk")
+
+
+def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.knn import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.knn import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, k=5)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.textops import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        language_id(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo: documents bytes as opaque media payloads
+    through the (stubbed) decode operator."""
+    from aida_spark.operators.multimodal import decode_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return decode_media(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "aida_triples_golden": _q_aida_triples,
+        "aida_prior_only_golden": _q_aida_prior_only,
+        "dedup_exact": _q_dedup_exact,
+        "doc_token_count": _q_token_count,
+        "doc_quality_counts": _q_quality_counts,
+        "word_doc_freq": _q_word_doc_freq,
+        "topk_orders_per_customer": _q_topk_orders,
+        "user_event_counts": _q_user_event_counts,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "lang_id_counts": _q_lang_id,
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # fixture-pinned goldens (reference JUnit outputs)
+        "aida_triples_golden": """
+            SELECT * FROM (VALUES
+                ('t1/0/17', 'linksTo', 'Kashmir_(song)'),
+                ('t1/0/28', 'linksTo', 'Knebworth_Festival'),
+                ('t1/0/5',  'linksTo', 'Jimmy_Page')
+            ) AS t(subj, pred, obj)
+        """,
+        "aida_prior_only_golden": """
+            SELECT * FROM (VALUES
+                ('t1/0/17', 'linksTo', 'Kashmir'),
+                ('t1/0/28', 'linksTo', 'Knebworth_Festival'),
+                ('t1/0/5',  'linksTo', 'Larry_Page')
+            ) AS t(subj, pred, obj)
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                       AS text_hash,
+                   COUNT(*) AS n_dups,
+                   MIN(doc_id) AS keep_id
+            FROM documents
+            GROUP BY 1
+        """,
+        "doc_token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "doc_quality_counts": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+            FROM documents
+        """,
+        "word_doc_freq": """
+            SELECT word, COUNT(DISTINCT doc_id) AS df
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+                FROM documents
+            )
+            WHERE word <> ''
+            GROUP BY word
+            HAVING COUNT(DISTINCT doc_id) >= 5
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "user_event_counts": """
+            SELECT user_id, event_type, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n DESC, event_type ASC
+                   ) AS rnk
+            FROM (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+        """,
+        "knn_bruteforce": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               b.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                           ) DESC, b.vec_id ASC
+                       ) AS rank
+                FROM embeddings b, embeddings q
+                WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        # knn_lsh / minhash_lsh_pairs / simhash / lang_id_counts /
+        # media_decode: hash/UDF semantics not reproducible in ANSI SQL ->
+        # rows-only checks.
+    }

@@ -55,6 +55,8 @@ class DisambiguationConfig:
     compute_confidence: bool = False
     confidence_balance: float = 1.0
     null_mapping_threshold: float = -1.0
+    ee_measures: tuple = (("milne_witten", 1.0),)
+    person_merge: bool = False  # RECONCILER_PERSON_MERGE
     weights: EnsembleWeights = field(default_factory=EnsembleWeights)
     # scale guard: conversations with more candidates than this abort the
     # coherence graph and fall back to LOCAL (GraphGenerator.java:100-103)
@@ -165,8 +167,14 @@ def disambiguate_document(
             algorithm=cfg.algorithm,
             compute_confidence=cfg.compute_confidence,
             confidence_balance=cfg.confidence_balance,
+            ee_measures=cfg.ee_measures,
         )
         results = cocktail_party(doc.mentions, ensemble_sims, kb, gcfg, all_sims)
+
+    if cfg.person_merge:
+        from .reconcile import merge_person_names
+
+        results = merge_person_names(results)
 
     # post-hoc null threshold (ChunkDisambiguator.java:141-158)
     if cfg.null_mapping_threshold >= 0.0:

@@ -60,6 +60,9 @@ def milne_witten(
 class GraphConfig:
     alpha: float = 0.6                       # CocktailPartyDisambiguationSettings.java:29
     entities_per_mention: int = 5            # :37
+    # E8 ensemble: weighted sum of EE measures; default MilneWitten x1.0
+    # (CocktailPartyDisambiguationSettings.java:43-45)
+    ee_measures: tuple = (("milne_witten", 1.0),)
     use_exhaustive: bool = True
     use_normalized_objective: bool = True
     max_combinations: int = 1000             # CocktailParty.java:331-334
@@ -163,6 +166,31 @@ class DocGraph:
         return close
 
 
+def _ee_ensemble_fn(kb: KBData, cfg: GraphConfig):
+    """EnsembleEntityEntitySimilarity: weighted sum of configured measures
+    (EnsembleEntityEntitySimilarity.java:14-27)."""
+    from . import ee_measures as eem
+
+    ctx = None
+    if any(name != "milne_witten" for name, _w in cfg.ee_measures):
+        ctx = eem.EEWeightContext(kb)
+    fns = {
+        "milne_witten": lambda a, b: milne_witten(
+            kb.inlinks.get(a, ()), kb.inlinks.get(b, ()), kb.collection_size
+        ),
+        "kore": lambda a, b: eem.kore_similarity(a, b, ctx),
+        "keyword_cosine": lambda a, b: eem.keyword_cosine_similarity(a, b, ctx),
+        "jaccard": lambda a, b: eem.jaccard_similarity(a, b, ctx),
+        "weighted_jaccard": lambda a, b: eem.weighted_jaccard_similarity(a, b, ctx),
+        "ngd": lambda a, b: eem.ngd_similarity(a, b, ctx),
+    }
+
+    def ensemble(a: str, b: str) -> float:
+        return sum(w * fns[name](a, b) for name, w in cfg.ee_measures)
+
+    return ensemble
+
+
 def build_graph(
     mentions: list[SpottedMention],
     ensemble_sims: dict[tuple[int, str], float],
@@ -190,15 +218,13 @@ def build_graph(
     # computed pairs are *stored* even when 0 (they participate in
     # rescaling), but only > 0 pairs become edges.
     ee: dict[tuple[str, str], float] = {}
+    ee_fn = _ee_ensemble_fn(kb, cfg)
     ordered = sorted(entity_order)
     for i, e1 in enumerate(ordered):
         for e2 in ordered[i + 1 :]:
             if entity_mentions[e1] == entity_mentions[e2]:
                 continue  # same-mention competitor pair: no coherence edge
-            sim = milne_witten(
-                kb.inlinks.get(e1, ()), kb.inlinks.get(e2, ()), kb.collection_size
-            )
-            ee[(e1, e2)] = max(0.0, sim)
+            ee[(e1, e2)] = max(0.0, ee_fn(e1, e2))
 
     # --- min-max rescale ME (ExtractGraph.rescaleMentionEdgeWeights)
     me_vals = list(me.values())

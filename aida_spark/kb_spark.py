@@ -88,19 +88,14 @@ def build_entity_bundles(
     min_keyphrase_weight: float = 0.0,
     max_keyphrases_per_entity: int | None = None,
 ) -> DataFrame:
-    """entity -> keyphrase/keyword payload arrays.
+    """entity keyphrase/keyword payload, token grain (all scalar columns):
 
-    Output schema (one row per entity):
-      entity string,
-      kps array<struct<kp:int,
-                       tokens:array<int>, expanded:array<int>,
-                       mi:array<double>, idf:array<double>>>,
-      inlinks array<int>, rank double
+      (entity, kp, position, token, expanded, mi, idf, inlinks_csv)
 
-    Plan shape at scale: two shuffles (groupBy entity+kp, then entity);
-    all dimension joins broadcast; the MI/IDF math is codegen'd column
-    arithmetic. The optional top-N filter is the K1 window — expressed as
-    row_number() so Spark can push the rank limit.
+    Plan shape at scale: one shuffle (the entity-keyword co-occurrence
+    aggregation); all dimension joins broadcast; the MI/IDF math is
+    codegen'd column arithmetic. The optional top-N filter is the K1
+    window — expressed as row_number() so Spark can push the rank limit.
     """
     ekp = kb["entity_keyphrases"]  # entity, keyphrase, count
 
@@ -168,52 +163,43 @@ def build_entity_bundles(
         ).otherwise(idf_expr(F.col("kw_df"), collection_size)),
     )
 
-    # assemble per-keyphrase token arrays (ordered by in-phrase position)
-    per_kp = (
-        ekt.groupBy("entity", "keyphrase")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("position"),
-                        F.col("token"),
-                        F.coalesce(F.col("expansion"), F.lit(0)).alias("expanded"),
-                        F.col("mi"),
-                        F.col("idf"),
-                    )
-                )
-            ).alias("toks")
-        )
-        .select(
-            "entity",
-            F.struct(
-                F.col("keyphrase").alias("kp"),
-                F.col("toks.token").alias("tokens"),
-                F.col("toks.expanded").alias("expanded"),
-                F.col("toks.mi").alias("mi"),
-                F.col("toks.idf").alias("idf"),
-            ).alias("kp_struct"),
-        )
-    )
-
-    bundles = per_kp.groupBy("entity").agg(
-        F.sort_array(F.collect_list("kp_struct")).alias("kps")
-    )
-
+    # Flat token-grain payload: one scalar row per (entity, keyphrase,
+    # token). Deliberately NO nested struct columns — they are rebuilt
+    # into per-entity dicts inside the solver UDF. (Nested
+    # array<struct<...>> columns crash pyarrow's cogroup arrow->pandas
+    # path in this environment, and flat rows also avoid the two
+    # collect_list shuffles an array assembly would need.)
     inl = kb["entity_inlinks"].select(
-        "entity", F.sort_array(F.col("inlinks")).alias("inlinks")
+        "entity",
+        F.concat_ws(
+            ",", F.transform(F.sort_array(F.col("inlinks")), lambda x: x.cast("string"))
+        ).alias("inlinks_csv"),
     )
-    rank = kb["entity_rank"]
-    bundles = (
-        bundles.join(inl, "entity", "left")
-        .join(F.broadcast(rank), "entity", "left")
+    flat = (
+        ekt.join(F.broadcast(inl), "entity", "left")
         .select(
             "entity",
-            "kps",
-            F.coalesce(F.col("inlinks"), F.array().cast("array<bigint>")).alias(
-                "inlinks"
-            ),
-            F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank"),
+            F.col("keyphrase").alias("kp"),
+            "position",
+            "token",
+            F.coalesce(F.col("expansion"), F.lit(0)).alias("expanded"),
+            "mi",
+            "idf",
+            F.coalesce(F.col("inlinks_csv"), F.lit("")).alias("inlinks_csv"),
         )
     )
-    return bundles
+    # entities with inlinks but no keyphrases still need a payload row
+    kp_less = (
+        inl.join(ekp.select("entity").distinct(), "entity", "left_anti")
+        .select(
+            "entity",
+            F.lit(None).cast("long").alias("kp"),
+            F.lit(None).cast("long").alias("position"),
+            F.lit(None).cast("long").alias("token"),
+            F.lit(0).cast("long").alias("expanded"),
+            F.lit(None).cast("double").alias("mi"),
+            F.lit(None).cast("double").alias("idf"),
+            F.col("inlinks_csv"),
+        )
+    )
+    return flat.unionByName(kp_less)

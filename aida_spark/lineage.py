@@ -1,0 +1,145 @@
+"""Per-partition lineage, metrics and exact resume.
+
+The north rule requires every stage to be resumable from checkpoint with
+per-partition lineage + metrics. Design (SURVEY.md §4 "custom infra"):
+
+- Work is bucketed by ``pmod(xxhash64(conv_id), n_buckets)`` — a stable,
+  content-derived partition id that survives cluster resizing (unlike
+  Spark's physical partition ids).
+- Each bucket's *input fingerprint* is an order-independent aggregate
+  (sum of row hashes), computed with one cheap Catalyst aggregation.
+- A checkpoint = Parquet output partitioned by bucket + a lineage table
+  ``(stage, bucket, input_hash, rows_in, rows_out, wall_ms, ts)``.
+- Resume: recompute ONLY buckets whose current input fingerprint differs
+  from the lineage row (or that have no row); untouched buckets are read
+  back from Parquet. Dynamic partition overwrite keeps the rewrite
+  bucket-scoped.
+
+At 10^12-turn scale this means a failed/preempted run re-executes only
+the buckets it never finished, and incremental input (new conversations)
+only touches the buckets they hash into.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["BucketCheckpoint"]
+
+BUCKET_COL = "_bucket"
+
+
+class BucketCheckpoint:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        n_buckets: int = 64,
+        key_col: str = "conv_id",
+    ):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+        self.n_buckets = n_buckets
+        self.key_col = key_col
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- helpers -------------------------------------------------------
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)).cast(
+                "int"
+            ),
+        )
+
+    def _fingerprints(self, df: DataFrame) -> DataFrame:
+        """Order-independent per-bucket content hash over all columns."""
+        cols = [c for c in df.columns if c != BUCKET_COL]
+        row_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+        # decimal(38,0) accumulation: order-independent and overflow-safe
+        # under ANSI mode (a long sum of xxhash64 values overflows)
+        return df.groupBy(BUCKET_COL).agg(
+            F.sum(row_hash.cast("decimal(38,0)")).alias("input_hash"),
+            F.count(F.lit(1)).alias("rows_in"),
+        )
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        return (
+            f"{self.base}/{stage}/data",
+            f"{self.base}/{stage}/lineage",
+        )
+
+    def lineage(self, stage: str) -> DataFrame | None:
+        _, lin = self._paths(stage)
+        if not os.path.exists(lin):
+            return None
+        return self.spark.read.parquet(lin)
+
+    # -- main entry ------------------------------------------------------
+    def materialize(self, stage: str, input_df: DataFrame, compute_fn) -> DataFrame:
+        """Compute ``compute_fn(bucketed_input)`` with bucket-level resume.
+
+        ``compute_fn`` receives the bucketed input (including BUCKET_COL)
+        and must return a DataFrame that retains BUCKET_COL (derive it from
+        the same key column if the grain changes).
+        """
+        data_path, lin_path = self._paths(stage)
+        bucketed = self._bucket(input_df)
+        current = self._fingerprints(bucketed).persist()
+
+        prior = self.lineage(stage)
+        if prior is None:
+            dirty_buckets = None  # everything
+        else:
+            joined = current.alias("c").join(
+                prior.select(
+                    F.col(BUCKET_COL), F.col("input_hash").alias("prior_hash")
+                ).alias("p"),
+                BUCKET_COL,
+                "left",
+            )
+            dirty = joined.filter(
+                F.col("prior_hash").isNull()
+                | (F.col("input_hash") != F.col("prior_hash"))
+            )
+            dirty_buckets = [r[BUCKET_COL] for r in dirty.collect()]
+            if not dirty_buckets:
+                current.unpersist()
+                return self.spark.read.parquet(data_path).drop(BUCKET_COL)
+
+        t0 = time.time()
+        if dirty_buckets is None:
+            to_compute = bucketed
+        else:
+            to_compute = bucketed.filter(F.col(BUCKET_COL).isin(dirty_buckets))
+        out = compute_fn(to_compute)
+        if BUCKET_COL not in out.columns:
+            out = self._bucket(out)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_path)
+        wall_ms = int((time.time() - t0) * 1000)
+
+        # lineage/metrics rows for the recomputed buckets
+        out_counts = (
+            self.spark.read.parquet(data_path)
+            .groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+        )
+        lineage_rows = (
+            current.join(out_counts, BUCKET_COL, "left")
+            .select(
+                F.lit(stage).alias("stage"),
+                F.col(BUCKET_COL),
+                "input_hash",
+                "rows_in",
+                F.coalesce(F.col("rows_out"), F.lit(0)).alias("rows_out"),
+                F.lit(wall_ms).alias("wall_ms"),
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        lineage_rows.write.mode("overwrite").parquet(lin_path)
+        current.unpersist()
+        return self.spark.read.parquet(data_path).drop(BUCKET_COL)

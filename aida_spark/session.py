@@ -18,26 +18,33 @@ def ship_package(spark: SparkSession) -> None:
     """Ship aida_spark to the executors (the programmatic equivalent of
     ``spark-submit --py-files aida_spark.zip``). Needed whenever the driver
     is not launched from the repo root; idempotent."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zip_path = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), "aida_spark_pyfiles.zip"
-    )
-    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
-        os.path.getmtime(os.path.join(root, f))
+    sources = sorted(
+        os.path.join(root, f)
         for root, _dirs, files in os.walk(pkg_dir)
         for f in files
         if f.endswith(".py")
-    ):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join(
-                        "aida_spark", os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+    )
+    digest = hashlib.md5()
+    for path in sources:
+        with open(path, "rb") as fh:
+            digest.update(path.encode())
+            digest.update(fh.read())
+    # Content-addressed filename + atomic rename: concurrent sessions must
+    # never truncate a zip another session's workers are importing from.
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"aida_spark_pyfiles_{digest.hexdigest()[:12]}.zip",
+    )
+    if not os.path.exists(zip_path):
+        tmp_path = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp_path, "w") as zf:
+            for full in sources:
+                rel = os.path.join("aida_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+        os.replace(tmp_path, zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 
@@ -60,6 +67,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Data size is a bad proxy for the CPU cost of the per-conversation
+        # solve UDF: without this, AQE coalesces the cogroup shuffle to a
+        # couple of 1MB+ partitions and serializes the solve stage.
+        # parallelismFirst + tiny minPartitionSize keeps coalescing bounded
+        # below by defaultParallelism instead of by partition bytes.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "8k")
         # Arrow for pandas UDF / applyInPandas transfer (vectorized batches)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -67,6 +81,7 @@ def get_spark(
         # don't let tiny dim tables trigger shuffles
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():

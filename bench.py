@@ -1,0 +1,122 @@
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], printing ONE JSON line.
+
+Also produces the north-rule scaling evidence: the identical KG-pipeline
+job at local[N] and local[4N] on the same input, reporting throughput at
+both plus efficiency = (thr_4N / thr_N) / 4 (no real cluster in this
+sandbox — see BASELINE.md "Scaling").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+
+# transcript corpus size scales with sf; the solve stage is the bottleneck.
+# Sized so the parallel solve work dominates Spark's fixed per-job overhead
+# (~3s) — required for a meaningful N-vs-4N scaling measurement.
+N_CONVS = max(1000, int(250_000 * SF))
+TURNS_PER_CONV = 8
+
+
+def _new_spark(cpus: int):
+    from aida_spark.session import get_spark
+
+    return get_spark(
+        f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+
+
+def _transcripts(spark, n_convs: int):
+    from aida_spark.fixtures import synth_transcripts
+
+    pdf = synth_transcripts(n_convs, TURNS_PER_CONV, seed=42, hot_key_skew=0.2)
+    return spark.createDataFrame(pdf).repartition(
+        max(8, spark.sparkContext.defaultParallelism * 2), "conv_id"
+    )
+
+
+def _run_kg_pipeline(spark, n_convs: int) -> tuple[float, int]:
+    from aida_spark.fixtures import kb_tables
+    from aida_spark.pipeline import AidaPipeline, PipelineConfig
+
+    transcripts = _transcripts(spark, n_convs).persist()
+    n_turns = transcripts.count()  # materialize input outside the timer
+    pipe = AidaPipeline(spark, kb_tables(), PipelineConfig())
+    pipe.run(transcripts.limit(50)).count()  # JIT/codegen + worker warmup
+    t0 = time.time()
+    pipe.run(transcripts).count()
+    dt = time.time() - t0
+    transcripts.unpersist()
+    return dt, n_turns
+
+
+def main() -> None:
+    queries: dict[str, float] = {}
+
+    import __spark_entry__ as entry_mod
+
+    # --- scaling evidence: the identical KG job at N and 4N cores; the
+    # 4N run doubles as the headline kg_pipeline measurement
+    n_small = max(1, CPUS // 4)
+    scaling: dict[int, float] = {}
+    n_turns = 0
+    for cpus in (n_small, CPUS):
+        s = _new_spark(cpus)
+        dt, n_turns = _run_kg_pipeline(s, N_CONVS)
+        scaling[cpus] = n_turns / dt
+        if cpus == CPUS:
+            queries["kg_pipeline"] = round(dt, 3)
+        s.stop()
+    efficiency = (scaling[CPUS] / scaling[n_small]) / (CPUS / n_small)
+    turns_per_sec = scaling[CPUS]
+
+    # --- other headline queries at local[CPUS]
+    spark = _new_spark(CPUS)
+    qfns = entry_mod.queries()
+    qfns["doc_quality_counts"](spark, SF_DIR).count()  # JIT/codegen warmup
+    for name in (
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "knn_bruteforce",
+        "doc_quality_counts",
+        "word_doc_freq",
+        "topk_orders_per_customer",
+    ):
+        t0 = time.time()
+        qfns[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF,
+                "kg_turns": n_turns,
+                "kg_turns_per_sec": round(turns_per_sec, 2),
+                f"turns_per_sec_n{n_small}": round(scaling[n_small], 2),
+                f"turns_per_sec_n{CPUS}": round(scaling[CPUS], 2),
+                "scaling_efficiency": round(efficiency, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Bucket-checkpoint lineage + exact-resume tests."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aida_spark.lineage import BucketCheckpoint
+
+
+@pytest.fixture()
+def tmp_ckpt(tmp_path, spark):
+    return BucketCheckpoint(spark, str(tmp_path / "ckpt"), n_buckets=8)
+
+
+def _input(spark, convs):
+    rows = [(c, i, f"text {c} {i}") for c in convs for i in range(3)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    )
+
+
+_CALLS = {"n": 0}
+
+
+def _compute(df):
+    _CALLS["n"] += 1
+    return df.groupBy("conv_id", "_bucket").agg(
+        F.count(F.lit(1)).alias("n_turns")
+    )
+
+
+def test_materialize_and_skip(spark, tmp_ckpt):
+    df = _input(spark, [f"c{i}" for i in range(20)])
+    out1 = tmp_ckpt.materialize("stage1", df, _compute)
+    assert out1.count() == 20
+    lineage = tmp_ckpt.lineage("stage1")
+    assert lineage is not None
+    rows = lineage.collect()
+    assert sum(r["rows_in"] for r in rows) == 60
+    assert all(r["stage"] == "stage1" for r in rows)
+
+    # unchanged input: no recompute (compute_fn called, but on 0 buckets —
+    # we detect via identical results and the fast path returning early)
+    calls_before = _CALLS["n"]
+    out2 = tmp_ckpt.materialize("stage1", df, _compute)
+    assert out2.count() == 20
+    assert _CALLS["n"] == calls_before  # early return, no compute
+
+
+def test_incremental_resume_recomputes_only_dirty(spark, tmp_ckpt):
+    df = _input(spark, [f"c{i}" for i in range(20)])
+    tmp_ckpt.materialize("stage2", df, _compute)
+    lineage1 = {
+        r["_bucket"]: r["input_hash"]
+        for r in tmp_ckpt.lineage("stage2").collect()
+    }
+
+    # modify ONE conversation: only its bucket should change
+    df2 = df.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "c7", F.lit("CHANGED")).otherwise(
+            F.col("text")
+        ),
+    )
+    out = tmp_ckpt.materialize("stage2", df2, _compute)
+    assert out.count() == 20
+    lineage2 = {
+        r["_bucket"]: r["input_hash"]
+        for r in tmp_ckpt.lineage("stage2").collect()
+    }
+    changed = [b for b in lineage1 if lineage1[b] != lineage2.get(b)]
+    assert len(changed) == 1  # exactly the bucket containing c7

@@ -1,0 +1,210 @@
+"""Tests for the training-data-pipeline operators: dedup, similarity
+search, text analysis, multimodal plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark, docs):
+        from aida_spark.operators.dedup import exact_dedup
+
+        out = exact_dedup(docs)
+        total = out.agg(F.sum("n_dups")).first()[0]
+        assert total == docs.count()
+
+    def test_exact_dedup_finds_planted_duplicate(self, spark):
+        from aida_spark.operators.dedup import exact_dedup
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["same  text here", "Same text HERE", "other"],
+            }
+        )
+        # case+whitespace normalization collapses 1 and 2... no: case
+        # differs -> lower() collapses; double space collapses
+        out = exact_dedup(spark.createDataFrame(pdf)).collect()
+        by_keep = {r["keep_id"]: r["n_dups"] for r in out}
+        assert by_keep == {1: 2, 3: 1}
+
+    def test_minhash_self_similarity(self, spark):
+        from aida_spark.operators.dedup import minhash_lsh_pairs
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog again",
+                    "the quick brown fox jumps over the lazy dog again!",
+                    "a completely different document about spark pipelines",
+                    "yet another unrelated piece of text goes right here",
+                ],
+            }
+        )
+        pairs = minhash_lsh_pairs(
+            spark.createDataFrame(pdf), jaccard_threshold=0.5
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in found
+        assert all(p == (1, 2) for p in found)
+
+    def test_simhash_near_dup_small_hamming(self, spark):
+        from aida_spark.operators.dedup import simhash
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",
+                    "completely unrelated text with other content entirely",
+                ],
+            }
+        )
+        rows = {r["id"]: r["simhash"] for r in simhash(spark.createDataFrame(pdf)).collect()}
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+        assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+
+    def test_ngram_jaccard(self, spark):
+        from aida_spark.operators.dedup import ngram_jaccard_pairs
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta",
+                    "alpha beta gamma delta epsilon eta",
+                    "one two three four five six",
+                ],
+            }
+        )
+        pairs = ngram_jaccard_pairs(
+            spark.createDataFrame(pdf), n=3, threshold=0.3
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+class TestKnn:
+    def test_bruteforce_topk_agrees_with_numpy(self, spark, emb):
+        import numpy as np
+
+        from aida_spark.operators.knn import brute_force_topk
+
+        queries = emb.filter(F.col("vec_id") < 3)
+        got = brute_force_topk(emb, queries, k=5).collect()
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].map(np.asarray))
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        for q in range(3):
+            qi = list(ids).index(q)
+            sims = (mat @ mat[qi]) / (norms * norms[qi])
+            order = sorted(
+                [(-(sims[i]), ids[i]) for i in range(len(ids)) if ids[i] != q]
+            )[:5]
+            expected = [int(nid) for _, nid in order]
+            mine = [
+                r["neighbor_id"]
+                for r in sorted(
+                    (r for r in got if r["query_id"] == q),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert mine == expected
+
+    def test_lsh_recall_reasonable(self, spark, emb):
+        from aida_spark.operators.knn import brute_force_topk, lsh_bucketed_topk
+
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_bucketed_topk(emb, queries, k=5).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6  # multi-table sign-LSH
+
+
+class TestTextOps:
+    def test_token_count(self, spark):
+        from aida_spark.operators.textops import token_count
+
+        pdf = pd.DataFrame({"text": ["one two three", "", "  padded  words "]})
+        out = token_count(spark.createDataFrame(pdf)).collect()
+        assert [r["n_tokens"] for r in out] == [3, 0, 2]
+
+    def test_language_id(self, spark):
+        from aida_spark.operators.textops import language_id
+
+        pdf = pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog sat in the garden of the house",
+                    "der hund und die katze sind nicht in das haus",
+                    "le chat et la souris dans les jardins de la maison",
+                    "xyzzy plugh qwerty",
+                ]
+            }
+        )
+        out = [r["lang_pred"] for r in language_id(spark.createDataFrame(pdf)).collect()]
+        assert out == ["en", "de", "fr", "unknown"]
+
+    def test_quality_and_fingerprint(self, spark, docs):
+        from aida_spark.operators.textops import fingerprint, quality_metrics
+
+        q = quality_metrics(docs).select("quality_score").collect()
+        assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)
+        f = fingerprint(docs.limit(10)).collect()
+        assert len({r["fingerprint"] for r in f}) >= 9  # distinct texts
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "media_id": [1, 2, 3],
+                "kind": ["image", "audio", "video"],
+                "content": [b"img-bytes", b"audio-bytes", b"video-bytes"],
+                "mime": ["image/png", "audio/wav", "video/mp4"],
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    def test_fake_decode_is_deterministic(self, spark):
+        from aida_spark.operators.multimodal import decode_media
+
+        a = decode_media(self._media(spark)).collect()
+        b = decode_media(self._media(spark)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        img = next(r for r in a if r["kind"] == "image")
+        assert img["duration_ms"] == 0 and img["width"] >= 64
+
+    def test_real_decoder_raises(self, spark):
+        from aida_spark.operators.multimodal import decode_media
+
+        with pytest.raises(Exception, match="NotImplementedError|decoding"):
+            decode_media(self._media(spark), decoder="real").collect()
+
+    def test_frame_sampling(self, spark):
+        from aida_spark.operators.multimodal import sample_frames
+
+        frames = sample_frames(self._media(spark), every_ms=500).collect()
+        assert all(r["media_id"] == 3 for r in frames)
+        assert len(frames) >= 2
