@@ -57,6 +57,7 @@ class DisambiguationConfig:
     null_mapping_threshold: float = -1.0
     ee_measures: tuple = (("milne_witten", 1.0),)
     person_merge: bool = False  # RECONCILER_PERSON_MERGE
+    fuzzy_min_sim: float = 0.0  # C5 trigram fallback; 0 disables
     weights: EnsembleWeights = field(default_factory=EnsembleWeights)
     # scale guard: conversations with more candidates than this abort the
     # coherence graph and fall back to LOCAL (GraphGenerator.java:100-103)
@@ -73,12 +74,17 @@ class Document:
     token_turns: list[int] = field(default_factory=list)
 
 
-def prepare(doc_id: str, text: str, kb: KBData) -> Document:
+def prepare(
+    doc_id: str, text: str, kb: KBData, include_unknown_caps: bool = False
+) -> Document:
     """P1/P2/P4/P5: markup parse, tokenize, hybrid mention spotting."""
     clean, manual_spans = parse_markup(text)
     tokens = tokenize(clean)
     mention_keys = set(kb.dictionary.keys())
-    mentions = spot_mentions(tokens, manual_spans, mention_keys)
+    mentions = spot_mentions(
+        tokens, manual_spans, mention_keys,
+        include_unknown_caps=include_unknown_caps,
+    )
     token_ids = [kb.word_id(t.text) for t in tokens]
     return Document(
         doc_id=doc_id,
@@ -95,6 +101,18 @@ def fill_candidates(doc: Document, kb: KBData, cfg: DisambiguationConfig) -> Non
             m.candidates = []
             continue
         cands = kb.candidates(conflate(m.surface), cfg.max_entity_rank)
+        if not cands and cfg.fuzzy_min_sim > 0.0:
+            # C5 fuzzy fallback: union candidates of all dictionary names
+            # within trigram similarity (EntityLookup.java:159-177)
+            from .text import trigram_similarity
+
+            key = conflate(m.surface)
+            fuzzy: dict[str, float] = {}
+            for name in kb.dictionary:
+                if name != key and trigram_similarity(key, name) >= cfg.fuzzy_min_sim:
+                    for e, p in kb.candidates(name, cfg.max_entity_rank) or []:
+                        fuzzy[e] = max(fuzzy.get(e, 0.0), p)
+            cands = sorted(fuzzy.items())
         m.candidates = cands or []
 
 

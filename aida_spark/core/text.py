@@ -18,6 +18,8 @@ from typing import Optional
 
 __all__ = [
     "conflate",
+    "trigrams",
+    "trigram_similarity",
     "Token",
     "SpottedMention",
     "tokenize",
@@ -107,11 +109,19 @@ def _align_span_to_tokens(
     return start, stop
 
 
+_FUNCTION_WORDS = {
+    "the", "a", "an", "in", "on", "at", "of", "to", "and", "or", "but",
+    "when", "while", "after", "before", "if", "then", "he", "she", "it",
+    "they", "we", "his", "her", "its", "their", "this", "that", "these",
+}
+
+
 def spot_mentions(
     tokens: list[Token],
     manual_spans: list[tuple[int, int]],
     mention_keys: set[str],
     max_len: int = 4,
+    include_unknown_caps: bool = False,
 ) -> list[SpottedMention]:
     """Hybrid mention detection.
 
@@ -178,5 +188,59 @@ def spot_mentions(
         else:
             i += 1
 
+    if include_unknown_caps:
+        # NER-style fallback (used with fuzzy lookup): maximal uncovered
+        # runs of uppercase-initial tokens become mentions so misspelled /
+        # out-of-dictionary names reach the fuzzy matcher. Single
+        # function words ("When", sentence-initial) are skipped — the
+        # analogue of the reference's sentence-initial filter
+        # (NERManager.java:103-120).
+        i = 0
+        while i < n:
+            if i in covered or not tokens[i].text[:1].isupper():
+                i += 1
+                continue
+            # sentence-initial function words ("When Pagee...") are not
+            # part of a name run
+            if tokens[i].text.lower() in _FUNCTION_WORDS:
+                i += 1
+                continue
+            j = i
+            while (
+                j + 1 < n
+                and j + 1 not in covered
+                and tokens[j + 1].text[:1].isupper()
+                and j + 1 - i < max_len
+            ):
+                j += 1
+            surface = " ".join(t.text for t in tokens[i : j + 1])
+            if not (j == i and tokens[i].text.lower() in _FUNCTION_WORDS):
+                mentions.append(
+                    SpottedMention(
+                        surface=surface,
+                        start_token=i,
+                        end_token=j,
+                        char_offset=tokens[i].begin,
+                        char_length=tokens[j].end - tokens[i].begin,
+                    )
+                )
+                covered.update(range(i, j + 1))
+            i = j + 1
+
     mentions.sort(key=lambda m: (m.char_offset, -m.char_length))
     return mentions
+
+
+def trigrams(s: str) -> set[str]:
+    """Padded lowercase character trigrams (pg_trgm-style: two leading and
+    one trailing space)."""
+    padded = "  " + s.lower() + " "
+    return {padded[i : i + 3] for i in range(max(len(padded) - 2, 1))}
+
+
+def trigram_similarity(a: str, b: str) -> float:
+    """Trigram-set Jaccard, the pg_trgm similarity() measure
+    (used by the fuzzy lookup fallback, DataAccessSQL.java:182-184)."""
+    ta, tb = trigrams(a), trigrams(b)
+    union = ta | tb
+    return len(ta & tb) / len(union) if union else 0.0

@@ -355,3 +355,60 @@ def synth_transcripts(
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
+
+
+def synth_conll_corpus(n_docs: int, seed: int = 42):
+    """CoNLL-YAGO-style fixture corpus over the 7-entity universe
+    (FIXTURES.md §4): documents built from the sentence templates, with
+    mentions annotated and ground truth derived from the golden-parity
+    core solver (which is pinned to the reference's JUnit outputs — see
+    tests/test_core_golden.py). Returns (documents, gold_table)."""
+    import random as _random
+
+    from .core.disambiguate import DisambiguationConfig, prepare, disambiguate_document
+    from .core.kb import OOKBE
+    from .sources.conll import ConllDocument, ConllMention, NME, ground_truth_table
+
+    kb = build_kb()
+    cfg = DisambiguationConfig()
+    rng = _random.Random(seed)
+    docs = []
+    for d in range(n_docs):
+        doc_id = f"doc{d:05d}"
+        n_sentences = rng.randint(2, 5)
+        sentences = [rng.choice(_TEMPLATES) for _ in range(n_sentences)]
+        text = " ".join(sentences)
+        # solve the whole document with the verified core solver
+        prepared = prepare(doc_id, text, kb)
+        results = disambiguate_document(prepared, kb, cfg)
+        # rebuild tokens/sentence ids from the markup-stripped text
+        from .core.text import parse_markup, tokenize
+
+        clean, _spans = parse_markup(text)
+        tokens = tokenize(clean)
+        sent_ids = []
+        s = 0
+        for t in tokens:
+            sent_ids.append(s)
+            if t.text in {".", "!", "?"}:
+                s += 1
+        doc = ConllDocument(
+            doc_id=doc_id,
+            tokens=[t.text for t in tokens],
+            sentence_ids=sent_ids,
+            date="2026-01-01",
+        )
+        for r in results:
+            m = r.mention
+            doc.mentions.append(
+                ConllMention(
+                    surface=m.surface,
+                    entity=NME if r.entity == OOKBE else r.entity,
+                    start_token=m.start_token,
+                    end_token=m.end_token,
+                    sentence=sent_ids[m.start_token],
+                    ner="MISC",
+                )
+            )
+        docs.append(doc)
+    return docs, ground_truth_table(docs)

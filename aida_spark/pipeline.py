@@ -66,6 +66,9 @@ class PipelineConfig:
     # join; 0 = rely on AQE skew handling
     mention_key_salt: int = 0
     emit_ookbe: bool = False
+    # C5 fuzzy fallback: mentions with no exact dictionary hit are matched
+    # against dictionary names by trigram Jaccard >= this; 0 disables
+    fuzzy_min_sim: float = 0.0
 
 
 MENTION_KEY_SCHEMA = StructType(
@@ -88,7 +91,9 @@ ASSIGNMENT_SCHEMA = StructType(
 )
 
 
-def _build_conversation_doc(turns: pd.DataFrame, mention_keys: set[str]):
+def _build_conversation_doc(
+    turns: pd.DataFrame, mention_keys: set[str], include_unknown_caps: bool = False
+):
     """Deterministically rebuild the conversation-level document: tokens of
     all turns concatenated in (turn_idx) order with global token indices;
     per-turn manual markup and dictionary spotting; mentions carry the turn
@@ -101,7 +106,9 @@ def _build_conversation_doc(turns: pd.DataFrame, mention_keys: set[str]):
     for _, row in turns.iterrows():
         clean, manual = parse_markup(row["text"] or "")
         toks = tokenize(clean)
-        turn_mentions = spot_mentions(toks, manual, mention_keys)
+        turn_mentions = spot_mentions(
+            toks, manual, mention_keys, include_unknown_caps=include_unknown_caps
+        )
         for m in turn_mentions:
             m.start_token += offset
             m.end_token += offset
@@ -223,6 +230,7 @@ class AidaPipeline:
     # ---- stage A: mention spotting (narrow) --------------------------
     def spot_mention_keys(self, transcripts: DataFrame) -> DataFrame:
         b_keys = self._b_mention_keys
+        unknown_caps = self.cfg.fuzzy_min_sim > 0.0
 
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             keys = b_keys.value
@@ -231,7 +239,9 @@ class AidaPipeline:
                 for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
                     clean, manual = parse_markup(text or "")
                     toks = tokenize(clean)
-                    for m in spot_mentions(toks, manual, keys):
+                    for m in spot_mentions(
+                        toks, manual, keys, include_unknown_caps=unknown_caps
+                    ):
                         seen.add((conv_id, conflate(m.surface)))
                 yield pd.DataFrame(
                     sorted(seen), columns=["conv_id", "mention_key"]
@@ -262,6 +272,39 @@ class AidaPipeline:
         if cfg.broadcast_dictionary:
             dict_with_rank = F.broadcast(dict_with_rank)
         candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
+        if cfg.fuzzy_min_sim > 0.0:
+            # C5: trigram-Jaccard fallback for keys with no exact hit;
+            # matched names contribute their candidates to the original key
+            from .operators.fuzzy import build_name_trigram_index, fuzzy_match
+
+            unmatched = candidates.filter(F.col("entity").isNull()).select(
+                "conv_id", "mention_key"
+            )
+            idx = build_name_trigram_index(
+                self.kb["dictionary"].select(F.col("mention"))
+            )
+            fz = fuzzy_match(unmatched, idx, cfg.fuzzy_min_sim)
+            fz_cand = (
+                unmatched.join(fz, "mention_key")
+                .join(
+                    dict_with_rank.withColumnRenamed("mention_key", "name"),
+                    "name",
+                )
+                .select("conv_id", "mention_key", "entity", "prior", "rank")
+            )
+            candidates = candidates.filter(
+                F.col("entity").isNotNull()
+            ).unionByName(fz_cand).unionByName(
+                # keep a no-candidate marker row for keys that stay unmatched
+                unmatched.join(fz_cand, ["conv_id", "mention_key"], "left_anti")
+                .select(
+                    "conv_id",
+                    "mention_key",
+                    F.lit(None).cast("string").alias("entity"),
+                    F.lit(None).cast("double").alias("prior"),
+                    F.lit(None).cast("double").alias("rank"),
+                )
+            )
         payload = candidates.join(
             self._bundles,
             "entity",
@@ -292,6 +335,7 @@ class AidaPipeline:
         collection_size = cfg.collection_size
         max_turns = cfg.max_turns_per_chunk
         emit_ookbe = cfg.emit_ookbe
+        unknown_caps = cfg.fuzzy_min_sim > 0.0
 
         def solve_conv(
             turns: pd.DataFrame, pay: pd.DataFrame
@@ -323,7 +367,7 @@ class AidaPipeline:
             chunk_outputs = []
             for chunk in chunks:
                 token_texts, mentions, mention_turn = _build_conversation_doc(
-                    chunk, mention_keys
+                    chunk, mention_keys, include_unknown_caps=unknown_caps
                 )
                 from .core.disambiguate import Document
 

@@ -1,0 +1,74 @@
+"""Structured-Streaming front-end for the KG pipeline.
+
+The reference is batch-only (its "Online" is a REST service,
+README.md:173-196), so there is no behavior to port — this is the Spark-
+native ingestion surface a transcript firehose needs: a file/Kafka stream
+of turns, micro-batched through the identical batch pipeline via
+``foreachBatch`` (conversation-level coherence needs the conversation's
+turns together, so per-conversation completeness is the caller's batching
+contract — e.g. sessionized upstream or replayed per closed conversation).
+
+Checkpointing is Spark's own streaming checkpoint (exactly-once sink
+semantics for the parquet sink) — orthogonal to the bucket-level lineage
+resume of the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..pipeline import AidaPipeline
+
+__all__ = ["TRANSCRIPT_SCHEMA", "read_transcript_stream", "stream_triples"]
+
+TRANSCRIPT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_triples(
+    pipeline: AidaPipeline,
+    transcripts_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+):
+    """Run the batch pipeline per micro-batch and append triples to
+    parquet. Returns the StreamingQuery."""
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.run(batch_df).write.mode("append").parquet(output_path)
+
+    writer = (
+        transcripts_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -67,20 +67,24 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    # --- scaling evidence: the identical KG job at N and 4N cores; the
-    # 4N run doubles as the headline kg_pipeline measurement
-    n_small = max(1, CPUS // 4)
+    # --- scaling evidence: the identical KG job at N and 4N cores.
+    # The 4N level is capped at half the machine: every Spark task thread
+    # drives a separate Python solver process, so local[nproc] + nproc
+    # workers oversubscribes the box 2x — an artifact a real cluster
+    # (where executors own their cores) does not have.
+    n_large = max(4, min(CPUS, (os.cpu_count() or CPUS) // 2))
+    n_small = max(1, n_large // 4)
     scaling: dict[int, float] = {}
     n_turns = 0
-    for cpus in (n_small, CPUS):
+    for cpus in (n_small, n_large):
         s = _new_spark(cpus)
         dt, n_turns = _run_kg_pipeline(s, N_CONVS)
         scaling[cpus] = n_turns / dt
-        if cpus == CPUS:
+        if cpus == n_large:
             queries["kg_pipeline"] = round(dt, 3)
         s.stop()
-    efficiency = (scaling[CPUS] / scaling[n_small]) / (CPUS / n_small)
-    turns_per_sec = scaling[CPUS]
+    efficiency = (scaling[n_large] / scaling[n_small]) / (n_large / n_small)
+    turns_per_sec = scaling[n_large]
 
     # --- other headline queries at local[CPUS]
     spark = _new_spark(CPUS)
@@ -111,7 +115,7 @@ def main() -> None:
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(turns_per_sec, 2),
                 f"turns_per_sec_n{n_small}": round(scaling[n_small], 2),
-                f"turns_per_sec_n{CPUS}": round(scaling[CPUS], 2),
+                f"turns_per_sec_n{n_large}": round(scaling[n_large], 2),
                 "scaling_efficiency": round(efficiency, 3),
             }
         )

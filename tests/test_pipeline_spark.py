@@ -123,3 +123,44 @@ def test_emit_ookbe_includes_nil(spark):
     out = p.run(spark.createDataFrame(golden_transcript()))
     objs = {r["obj"] for r in out.collect()}
     assert OOKBE in objs  # Les Paul
+
+
+def test_fuzzy_candidate_fallback(spark):
+    """C5: misspelled names reach candidates via trigram fuzzy matching."""
+    import datetime as dt
+
+    p = AidaPipeline(spark, kb_tables(), PipelineConfig(fuzzy_min_sim=0.4))
+    rows = [
+        (
+            "c1", 0, "user",
+            "When Pagee played Kashmirr at Knebworth.", "",
+            dt.datetime(2026, 1, 1),
+        )
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    )
+    objs = {r["mention"]: r["obj"] for r in p.run(df).collect()}
+    assert objs.get("Kashmirr") == "Kashmir_(song)"
+    assert objs.get("Pagee") in {"Jimmy_Page", "Larry_Page"}
+
+
+def test_fuzzy_core_matches_spark(spark):
+    from aida_spark.core.disambiguate import prepare
+
+    kb = build_kb()
+    doc = prepare(
+        "t", "When Pagee played Kashmirr at Knebworth.", kb,
+        include_unknown_caps=True,
+    )
+    res = disambiguate_document(
+        doc, kb, DisambiguationConfig(fuzzy_min_sim=0.4)
+    )
+    core = {r.mention.surface: r.entity for r in res if r.entity != OOKBE}
+    assert core == {
+        "Pagee": "Jimmy_Page",
+        "Kashmirr": "Kashmir_(song)",
+        "Knebworth": "Knebworth_Festival",
+    }
