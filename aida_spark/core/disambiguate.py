@@ -57,6 +57,12 @@ class DisambiguationConfig:
     null_mapping_threshold: float = -1.0
     ee_measures: tuple = (("milne_witten", 1.0),)
     person_merge: bool = False  # RECONCILER_PERSON_MERGE
+    # P7: drop mentions whose surface occurs fewer than k times in the
+    # document (Preparator.java:106-109,125-140); 0/1 disables
+    min_mention_occurrence: int = 0
+    # C8: keep only candidates having >= 1 of these types
+    # (EntityLookup.filterEntitiesByType:242-261); empty disables
+    type_filter: tuple = ()
     fuzzy_min_sim: float = 0.0  # C5 trigram fallback; 0 disables
     weights: EnsembleWeights = field(default_factory=EnsembleWeights)
     # scale guard: conversations with more candidates than this abort the
@@ -101,6 +107,12 @@ def fill_candidates(doc: Document, kb: KBData, cfg: DisambiguationConfig) -> Non
             m.candidates = []
             continue
         cands = kb.candidates(conflate(m.surface), cfg.max_entity_rank)
+        if cands and cfg.type_filter:
+            wanted = set(cfg.type_filter)
+            cands = [
+                (e, p) for (e, p) in cands
+                if wanted & set(kb.entity_types.get(e, ()))
+            ]
         if not cands and cfg.fuzzy_min_sim > 0.0:
             # C5 fuzzy fallback: union candidates of all dictionary names
             # within trigram similarity (EntityLookup.java:159-177)
@@ -117,11 +129,13 @@ def fill_candidates(doc: Document, kb: KBData, cfg: DisambiguationConfig) -> Non
 
 
 def _coherence_robustness_l1(
-    doc: Document, kb: KBData
+    doc: Document, kb: KBData, raw_from: EnsembleScorer | None = None
 ) -> dict[int, float]:
     """L1 distance between the prior distribution and the cohrob-ensemble
     similarity distribution, per mention (GraphGenerator.java:354-446)."""
-    scorer = EnsembleScorer(doc.mentions, kb, doc.token_ids, COHROB_WEIGHTS)
+    scorer = EnsembleScorer(
+        doc.mentions, kb, doc.token_ids, COHROB_WEIGHTS, raw_from=raw_from
+    )
     l1s: dict[int, float] = {}
     for mi, m in enumerate(doc.mentions):
         priors = {
@@ -138,6 +152,14 @@ def _coherence_robustness_l1(
 def disambiguate_document(
     doc: Document, kb: KBData, cfg: DisambiguationConfig
 ) -> list[MentionResult]:
+    if cfg.min_mention_occurrence > 1:
+        counts: dict[str, int] = {}
+        for m in doc.mentions:
+            counts[m.surface] = counts.get(m.surface, 0) + 1
+        doc.mentions = [
+            m for m in doc.mentions
+            if counts[m.surface] >= cfg.min_mention_occurrence
+        ]
     fill_candidates(doc, kb, cfg)
 
     if cfg.technique == "prior":
@@ -162,7 +184,7 @@ def disambiguate_document(
         # local candidate before the graph algorithm
         ensemble_sims = dict(all_sims)
         if cfg.use_coherence_robustness:
-            l1s = _coherence_robustness_l1(doc, kb)
+            l1s = _coherence_robustness_l1(doc, kb, raw_from=scorer)
             for mi, m in enumerate(doc.mentions):
                 if len(m.candidates) > 1 and l1s.get(mi, 2.0) < cfg.coh_robustness_threshold:
                     best = max(

@@ -502,19 +502,31 @@ def _exhaustive_search(
     if not mention_ids:
         return {}
 
+    # Precompute alive ME weights and the EE weight table among candidate
+    # entities once; the per-combination cost is then O(m + |chosen|^2)
+    # dict lookups instead of full adjacency scans.
+    me_w = {m: {e: g.adj[m][e] for e in successors[m]} for m in mention_ids}
+    all_entities = {e for alive in successors.values() for e in alive}
+    ee_w: dict[int, dict[int, float]] = {
+        e: {
+            s: w
+            for s, w in g.adj[e].items()
+            if s in all_entities and not g.removed[s]
+        }
+        for e in all_entities
+    }
+
     def weight(assign: tuple[int, ...]) -> float:
         total = 0.0
-        chosen = set()
+        chosen = set(assign)
         for m, e in zip(mention_ids, assign):
-            w = g.adj[m].get(e)
-            if w is not None and not g.removed[e]:
-                total += w
-                chosen.add(e)
+            total += me_w[m][e]
         for e in chosen:
-            for s, w in g.adj[e].items():
-                if s in chosen and e < s:
-                    total += w
-        return total / len(chosen) if chosen else 0.0
+            adj = ee_w[e]
+            for s in chosen:
+                if e < s and s in adj:
+                    total += adj[s]
+        return total / len(chosen)
 
     best_assign = None
     best_weight = -INF
@@ -756,6 +768,89 @@ def cocktail_party(
     return [results[mi] for mi in sorted(results.keys())]
 
 
+def _sampling_confidence(
+    g: DocGraph,
+    mentions: list[SpottedMention],
+    mapping: dict[int, int],
+    cfg: GraphConfig,
+) -> dict[int, dict[int, float]]:
+    """G10 random-flip coherence confidence
+    (GraphConfidenceEstimator.java:160-260): repeatedly flip a random
+    subset of mention assignments (flip target sampled proportionally to
+    ME edge weight, excluding the solution), re-pick the best entity by
+    weighted degree for the stable mentions, and count how often each
+    candidate wins. Deterministic via the reference's seed (1337), though
+    not bit-identical to java.util.Random sequences."""
+    import random
+
+    rng = random.Random(cfg.random_seed)
+    solution = {
+        m: e for m, e in mapping.items() if e is not None and e != -1
+    }
+    flip_candidates = [m for m in solution if len(g.adj[m]) > 1]
+    if not solution:
+        return {}
+    counts: dict[int, dict[int, int]] = {}
+    total_iterations = min(
+        cfg.confidence_iterations_per_mention * len(solution), 10000
+    )
+    for _ in range(total_iterations):
+        mention_size = max(1, round(len(solution) * cfg.confidence_flip_percentage))
+        num_flips = max(1, rng.randrange(mention_size))
+        pool = list(flip_candidates)
+        flipped: set[int] = set()
+        for _k in range(min(num_flips, len(pool))):
+            flipped.add(pool.pop(rng.randrange(len(pool))))
+        config = dict(solution)
+        for m in flipped:
+            cands = {e: w for e, w in g.adj[m].items() if e != solution[m]}
+            if cands:
+                norm = normalize_to_sum(cands)
+                r = rng.random()
+                acc = 0.0
+                pick = next(iter(norm))
+                for e, p in sorted(norm.items()):
+                    acc += p
+                    if r <= acc:
+                        pick = e
+                        break
+                config[m] = pick
+            else:
+                config[m] = -1
+        present = set(config.keys()) | set(config.values())
+        wd_cache: dict[int, float] = {}
+
+        def wd(e: int) -> float:
+            if e not in wd_cache:
+                wd_cache[e] = sum(
+                    w for nb, w in g.adj[e].items() if nb in present
+                )
+            return wd_cache[e]
+
+        for m in solution:
+            if m in flipped:
+                continue
+            cands = list(g.adj[m].keys())
+            if not cands:
+                continue
+            best_wd = max(wd(e) for e in cands)
+            tied = [e for e in cands if wd(e) == best_wd]
+            pick = tied[rng.randrange(len(tied))] if len(tied) > 1 else tied[0]
+            counts.setdefault(m, {})[pick] = counts.setdefault(m, {}).get(pick, 0) + 1
+    out: dict[int, dict[int, float]] = {}
+    for m, ec in counts.items():
+        total = sum(ec.values())
+        cand_conf = {e: 0.0 for e in g.adj[m]}
+        if len(cand_conf) == 1:
+            for e in cand_conf:
+                cand_conf[e] = 1.0
+        else:
+            for e, c in ec.items():
+                cand_conf[e] = c / total
+        out[m] = cand_conf
+    return out
+
+
 def _apply_confidence(
     g: DocGraph,
     mentions: list[SpottedMention],
@@ -780,6 +875,10 @@ def _apply_confidence(
             w for nb, w in g.adj[entity_node].items() if nb in present
         )
 
+    coherence_conf: dict[int, dict[int, float]] = {}
+    if cfg.confidence_balance < 1.0:
+        coherence_conf = _sampling_confidence(g, mentions, mapping, cfg)
+
     for mi in range(len(mentions)):
         if mi in dangling_solved:
             continue  # solved with normalized local score before the graph
@@ -803,4 +902,10 @@ def _apply_confidence(
             sims = g.local_sims[mi]
             norm = normalize_to_sum(dict(sims)) if sims else {}
             conf = norm.get(chosen_name, 0.0)
+        if mi in coherence_conf and cfg.confidence_balance < 1.0:
+            coh = coherence_conf[mi].get(chosen, 0.0)
+            conf = (
+                cfg.confidence_balance * conf
+                + (1.0 - cfg.confidence_balance) * coh
+            )
         results[mi] = MentionResult(mentions[mi], chosen_name, conf)

@@ -59,6 +59,8 @@ class KBData:
     # columns; when absent they are derived from the counts above)
     kw_mi_weights: dict[tuple[str, int], float] = field(default_factory=dict)
     kw_idf_weights: dict[int, float] = field(default_factory=dict)
+    # C8 type filter support: entity -> type names
+    entity_types: dict[str, tuple[str, ...]] = field(default_factory=dict)
 
     # ---- id helpers -------------------------------------------------
     def word_id(self, word: str) -> int:

@@ -167,17 +167,30 @@ class EnsembleScorer:
         kb: KBData,
         token_ids: list[int],
         weights: EnsembleWeights,
+        raw_from: "EnsembleScorer | None" = None,
     ):
         self.kb = kb
         self.weights = weights
+        if raw_from is not None:
+            # The raw MI/IDF keyphrase scores depend only on the context and
+            # candidates, not on the ensemble weights — share them between
+            # the main and coherence-robustness ensembles (the reference
+            # recomputes them identically in two instances,
+            # GraphGenerator.java:123-129,365-369).
+            self.index = raw_from.index
+            self.raw = raw_from.raw
+            self.minmax = raw_from.minmax
+            self.priors = raw_from.priors
+            self.best_prior = raw_from.best_prior
+            return
         self.index = InvertedIndex(token_ids, kb, remove_stopwords=True)
         self.raw: dict[str, dict[int, dict[str, float]]] = {"mi": {}, "idf": {}}
         self.minmax: dict[str, tuple[float, float]] = {}
         self.priors: dict[int, dict[str, float]] = {}
         self.best_prior: dict[int, float] = {}
-        for mi, m in enumerate(mentions):
-            from .text import conflate
+        from .text import conflate
 
+        for mi, m in enumerate(mentions):
             priors = kb.priors(conflate(m.surface))
             self.priors[mi] = priors
             self.best_prior[mi] = max(priors.values(), default=0.0)

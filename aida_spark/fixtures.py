@@ -110,6 +110,18 @@ they this to was we were what when where which who will with you your
 
 SYMBOLS = list(".,;:!?()[]{}'\"`-–—/\\|@#$%^&*_+=<>~")
 
+# entity -> types (fixture extension; the reference fixture has no type
+# tables, so these are our own deterministic assignments for C8 tests)
+ENTITY_TYPES: dict[str, tuple[str, ...]] = {
+    "Larry_Page": ("person", "entrepreneur"),
+    "Jimmy_Page": ("person", "musician"),
+    "Nomatching_Page": ("person",),
+    "Stopword_Page": ("person",),
+    "Kashmir": ("location",),
+    "Kashmir_(song)": ("work", "song"),
+    "Knebworth_Festival": ("event",),
+}
+
 GOLDEN_SENTENCE = (
     "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
 )
@@ -226,6 +238,7 @@ def build_kb() -> KBData:
         entity_kp_count=entity_kp_count,
         entity_kw_count=entity_kw_count,
         inlinks=inlinks,
+        entity_types=dict(ENTITY_TYPES),
     )
 
 
@@ -281,6 +294,10 @@ def kb_tables(kb: KBData | None = None) -> dict[str, pd.DataFrame]:
         columns=["entity", "inlinks"],
     )
     stopwords = pd.DataFrame({"word": STOPWORDS + SYMBOLS})
+    entity_types = pd.DataFrame(
+        [(e, list(ts)) for e, ts in sorted(ENTITY_TYPES.items())],
+        columns=["entity", "types"],
+    )
     return {
         "dictionary": dictionary,
         "known_names": known_names,
@@ -294,6 +311,7 @@ def kb_tables(kb: KBData | None = None) -> dict[str, pd.DataFrame]:
         "keyphrase_counts": keyphrase_counts,
         "entity_counts": entity_counts,
         "entity_inlinks": entity_inlinks,
+        "entity_types": entity_types,
         "stopwords": stopwords,
     }
 

@@ -175,6 +175,17 @@ def build_entity_bundles(
             ",", F.transform(F.sort_array(F.col("inlinks")), lambda x: x.cast("string"))
         ).alias("inlinks_csv"),
     )
+    if "entity_types" in kb:
+        types = kb["entity_types"].select(
+            "entity", F.concat_ws(",", F.col("types")).alias("types_csv")
+        )
+        inl = inl.join(F.broadcast(types), "entity", "full").select(
+            "entity",
+            F.coalesce(F.col("inlinks_csv"), F.lit("")).alias("inlinks_csv"),
+            F.coalesce(F.col("types_csv"), F.lit("")).alias("types_csv"),
+        )
+    else:
+        inl = inl.withColumn("types_csv", F.lit(""))
     flat = (
         ekt.join(F.broadcast(inl), "entity", "left")
         .select(
@@ -186,6 +197,7 @@ def build_entity_bundles(
             "mi",
             "idf",
             F.coalesce(F.col("inlinks_csv"), F.lit("")).alias("inlinks_csv"),
+            F.coalesce(F.col("types_csv"), F.lit("")).alias("types_csv"),
         )
     )
     # entities with inlinks but no keyphrases still need a payload row
@@ -200,6 +212,7 @@ def build_entity_bundles(
             F.lit(None).cast("double").alias("mi"),
             F.lit(None).cast("double").alias("idf"),
             F.col("inlinks_csv"),
+            F.col("types_csv"),
         )
     )
     return flat.unionByName(kp_less)

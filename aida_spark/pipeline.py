@@ -69,6 +69,11 @@ class PipelineConfig:
     # C5 fuzzy fallback: mentions with no exact dictionary hit are matched
     # against dictionary names by trigram Jaccard >= this; 0 disables
     fuzzy_min_sim: float = 0.0
+    # solve-stage group granularity: conversations hash into this many
+    # buckets; one applyInPandas group per bucket amortizes the per-group
+    # Arrow/pandas overhead over ~corpus/solve_buckets conversations.
+    # Size it >= ~4x total executor cores at the target scale.
+    solve_buckets: int = 512
 
 
 MENTION_KEY_SCHEMA = StructType(
@@ -98,13 +103,15 @@ def _build_conversation_doc(
     all turns concatenated in (turn_idx) order with global token indices;
     per-turn manual markup and dictionary spotting; mentions carry the turn
     and turn-local char offset for triple subjects."""
-    turns = turns.sort_values("turn_idx")
+    order = turns["turn_idx"].to_numpy().argsort(kind="stable")
+    turn_ids = turns["turn_idx"].to_numpy()[order]
+    texts = turns["text"].to_numpy()[order]
     all_token_texts: list[str] = []
     mentions: list[SpottedMention] = []
     mention_turn: list[int] = []
     offset = 0
-    for _, row in turns.iterrows():
-        clean, manual = parse_markup(row["text"] or "")
+    for turn_idx, text in zip(turn_ids, texts):
+        clean, manual = parse_markup(text or "")
         toks = tokenize(clean)
         turn_mentions = spot_mentions(
             toks, manual, mention_keys, include_unknown_caps=include_unknown_caps
@@ -113,7 +120,7 @@ def _build_conversation_doc(
             m.start_token += offset
             m.end_token += offset
             mentions.append(m)
-            mention_turn.append(int(row["turn_idx"]))
+            mention_turn.append(int(turn_idx))
         all_token_texts.extend(t.text for t in toks)
         offset += len(toks)
     return all_token_texts, mentions, mention_turn
@@ -135,31 +142,49 @@ def _payload_to_kb(
     kp_token_pos: dict[int, dict[int, int]] = {}
     kw_mi: dict[tuple[str, int], float] = {}
     kw_idf: dict[int, float] = {}
-    exp: dict[int, int] = dict(expansions)
+    # overlay, NOT a copy: at scale the global expansion dict is large and
+    # shared via broadcast; per-conversation rows only add a handful
+    from collections import ChainMap
+
+    local_exp: dict[int, int] = {}
+    exp = ChainMap(local_exp, expansions)
     inlinks: dict[str, tuple[int, ...]] = {}
-    for row in payload.itertuples(index=False):
-        key = row.mention_key
+    entity_types: dict[str, tuple[str, ...]] = {}
+    cols = (
+        payload["mention_key"].to_numpy(),
+        payload["entity"].to_numpy(),
+        payload["prior"].to_numpy(),
+        payload["rank"].to_numpy(),
+        payload["kp"].to_numpy(),
+        payload["position"].to_numpy(),
+        payload["token"].to_numpy(),
+        payload["expanded"].to_numpy(),
+        payload["mi"].to_numpy(),
+        payload["idf"].to_numpy(),
+        payload["inlinks_csv"].to_numpy(),
+        payload["types_csv"].to_numpy(),
+    )
+    for (key, entity, prior, rank, kp_v, position, token, expanded,
+         mi_v, idf_v, inlinks_csv, types_csv) in zip(*cols):
         dictionary.setdefault(key, [])
-        if row.entity is None or (isinstance(row.entity, float)):
+        if entity is None or isinstance(entity, float):
             continue
-        if (key, row.entity) not in seen_pairs:
-            seen_pairs.add((key, row.entity))
-            dictionary[key].append((row.entity, float(row.prior)))
-        entity_rank[row.entity] = (
-            float(row.rank) if row.rank is not None else 0.0
-        )
-        if row.inlinks_csv:
-            inlinks[row.entity] = tuple(
-                int(x) for x in row.inlinks_csv.split(",")
-            )
-        if row.kp is not None and not pd.isna(row.kp):
-            kp = int(row.kp)
-            entity_kps.setdefault(row.entity, {})[kp] = None
-            kp_token_pos.setdefault(kp, {})[int(row.position)] = int(row.token)
-            kw_mi[(row.entity, int(row.token))] = float(row.mi)
-            kw_idf[int(row.token)] = float(row.idf)
-            if row.expanded:
-                exp[int(row.token)] = int(row.expanded)
+        if (key, entity) not in seen_pairs:
+            seen_pairs.add((key, entity))
+            dictionary[key].append((entity, float(prior)))
+        entity_rank[entity] = float(rank) if rank is not None else 0.0
+        if inlinks_csv:
+            inlinks[entity] = tuple(int(x) for x in inlinks_csv.split(","))
+        if types_csv:
+            entity_types[entity] = tuple(types_csv.split(","))
+        if kp_v is not None and not pd.isna(kp_v):
+            kp = int(kp_v)
+            entity_kps.setdefault(entity, {})[kp] = None
+            kp_token_pos.setdefault(kp, {})[int(position)] = int(token)
+            kw_mi[(entity, int(token))] = float(mi_v)
+            kw_idf[int(token)] = float(idf_v)
+            if expanded:
+                local_exp[int(token)] = int(expanded)
     # flat rows repeat the per-entity payload once per mention key the
     # entity is candidate for; all inserts above are idempotent. Keyphrase
     # order = ascending kp id (== the reference fixture's insertion order,
@@ -192,6 +217,7 @@ def _payload_to_kb(
         inlinks=inlinks,
         kw_mi_weights=kw_mi,
         kw_idf_weights=kw_idf,
+        entity_types=entity_types,
     )
 
 
@@ -271,7 +297,26 @@ class AidaPipeline:
         )
         if cfg.broadcast_dictionary:
             dict_with_rank = F.broadcast(dict_with_rank)
-        candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
+            candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
+        elif cfg.mention_key_salt > 1:
+            # Explicit hot-key salting for the shuffle join: the probe side
+            # spreads each key over N salt buckets (derived from conv_id,
+            # so a hot key like "PAGE" fans out), the dictionary side is
+            # replicated N times. Complements AQE skew-join splitting when
+            # a single key exceeds what AQE will split.
+            n_salt = cfg.mention_key_salt
+            salted_keys = mention_keys.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_salt)).cast("int"),
+            )
+            salted_dict = dict_with_rank.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+            )
+            candidates = salted_keys.join(
+                salted_dict, ["mention_key", "_salt"], "left"
+            ).drop("_salt")
+        else:
+            candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
         if cfg.fuzzy_min_sim > 0.0:
             # C5: trigram-Jaccard fallback for keys with no exact hit;
             # matched names contribute their candidates to the original key
@@ -322,6 +367,7 @@ class AidaPipeline:
             "mi",
             "idf",
             "inlinks_csv",
+            "types_csv",
         )
         return payload
 
@@ -337,13 +383,37 @@ class AidaPipeline:
         emit_ookbe = cfg.emit_ookbe
         unknown_caps = cfg.fuzzy_min_sim > 0.0
 
-        def solve_conv(
-            turns: pd.DataFrame, pay: pd.DataFrame
+        def solve_bucket(
+            turns_b: pd.DataFrame, pay_b: pd.DataFrame
         ) -> pd.DataFrame:
-            if turns.empty:
+            """One Arrow group = one *bucket* of conversations: iterating
+            conversations inside the UDF amortizes the per-group Arrow /
+            pandas overhead (~5ms/group) over many conversations."""
+            rows: list[tuple] = []
+            if turns_b.empty:
                 return pd.DataFrame(
                     {f.name: [] for f in ASSIGNMENT_SCHEMA.fields}
                 )
+            pay_by_conv = (
+                dict(tuple(pay_b.groupby("conv_id", sort=False)))
+                if not pay_b.empty
+                else {}
+            )
+            empty_pay = pay_b.iloc[0:0]
+            for conv_id, turns in turns_b.groupby("conv_id", sort=False):
+                solve_conv(
+                    conv_id,
+                    turns,
+                    pay_by_conv.get(conv_id, empty_pay),
+                    rows,
+                )
+            return pd.DataFrame(
+                rows, columns=[f.name for f in ASSIGNMENT_SCHEMA.fields]
+            )
+
+        def solve_conv(
+            conv_id, turns: pd.DataFrame, pay: pd.DataFrame, rows: list
+        ) -> None:
             word2id = b_word2id.value
             kb = _payload_to_kb(
                 pay,
@@ -352,9 +422,7 @@ class AidaPipeline:
                 b_stopword_ids.value,
                 collection_size,
             )
-            conv_id = turns["conv_id"].iloc[0]
             mention_keys = set(kb.dictionary.keys())
-            rows: list[tuple] = []
             # chunking (P9): bounded turn windows, reconciled below (O3)
             turns = turns.sort_values("turn_idx")
             if max_turns and len(turns) > max_turns:
@@ -404,14 +472,16 @@ class AidaPipeline:
                             float(r.score),
                         )
                     )
-            return pd.DataFrame(
-                rows, columns=[f.name for f in ASSIGNMENT_SCHEMA.fields]
-            )
 
+        n_buckets = cfg.solve_buckets
+        bucket = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast(
+            "int"
+        )
         return (
-            transcripts.groupBy("conv_id")
-            .cogroup(payload.groupBy("conv_id"))
-            .applyInPandas(solve_conv, ASSIGNMENT_SCHEMA)
+            transcripts.withColumn("_sbucket", bucket)
+            .groupBy("_sbucket")
+            .cogroup(payload.withColumn("_sbucket", bucket).groupBy("_sbucket"))
+            .applyInPandas(solve_bucket, ASSIGNMENT_SCHEMA)
         )
 
     # ---- stage E: triples ---------------------------------------------

@@ -215,3 +215,58 @@ class TestPriorOnly:
         assert mapping["Kashmir"] == "Kashmir"  # prior 0.9
         assert mapping["Knebworth"] == "Knebworth_Festival"
         assert mapping["Les Paul"] == OOKBE
+
+
+class TestFilters:
+    def test_type_filter_keeps_only_matching(self, kb):
+        from aida_spark.core.disambiguate import (
+            DisambiguationConfig,
+            disambiguate_document,
+            prepare,
+        )
+
+        doc = prepare("t", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(
+            doc, kb, DisambiguationConfig(type_filter=("location",))
+        )
+        mapping = {r.mention.surface: r.entity for r in res}
+        assert mapping["Kashmir"] == "Kashmir"  # geo entity only
+        assert mapping["Page"] == OOKBE  # persons filtered out
+        assert mapping["Knebworth"] == OOKBE
+
+    def test_min_mention_occurrence(self, kb):
+        from aida_spark.core.disambiguate import (
+            DisambiguationConfig,
+            disambiguate_document,
+            prepare,
+        )
+
+        text = "Page played. Page sang. Kashmir was nice."
+        doc = prepare("t", text, kb)
+        res = disambiguate_document(
+            doc, kb, DisambiguationConfig(min_mention_occurrence=2)
+        )
+        surfaces = {r.mention.surface for r in res}
+        assert surfaces == {"Page"}  # Kashmir occurs once -> dropped
+
+
+class TestSamplingConfidence:
+    def test_balance_half_is_deterministic_and_bounded(self, kb):
+        from aida_spark.core.disambiguate import (
+            DisambiguationConfig,
+            disambiguate_document,
+            prepare,
+        )
+
+        cfg = DisambiguationConfig(
+            algorithm="cp", compute_confidence=True, confidence_balance=0.5
+        )
+        runs = []
+        for _ in range(2):
+            doc = prepare("t", GOLDEN_SENTENCE, kb)
+            res = disambiguate_document(doc, kb, cfg)
+            runs.append([(r.mention.surface, r.entity, r.score) for r in res])
+        assert runs[0] == runs[1]
+        assert all(0.0 <= s <= 1.0 for _m, _e, s in runs[0])
+        mapping = {m: e for m, e, _s in runs[0]}
+        assert mapping["Page"] == "Jimmy_Page"

@@ -164,3 +164,19 @@ def test_fuzzy_core_matches_spark(spark):
         "Kashmirr": "Kashmir_(song)",
         "Knebworth": "Knebworth_Festival",
     }
+
+
+def test_salted_shuffle_join_matches_broadcast(spark):
+    """Skew hardening: salted shuffle join must produce identical triples
+    to the broadcast join on a hot-key-skewed corpus."""
+    corpus = synth_transcripts(20, 6, seed=17, hot_key_skew=0.95)
+    df = spark.createDataFrame(corpus)
+    p_bc = AidaPipeline(spark, kb_tables(), PipelineConfig())
+    p_salt = AidaPipeline(
+        spark,
+        kb_tables(),
+        PipelineConfig(broadcast_dictionary=False, mention_key_salt=8),
+    )
+    a = sorted(map(tuple, p_bc.run(df).select("subj", "obj").collect()))
+    b = sorted(map(tuple, p_salt.run(df).select("subj", "obj").collect()))
+    assert a == b and len(a) > 0
