@@ -201,6 +201,27 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table: a new session
+    starts after >30 min of inactivity per user (lag + running sum —
+    the standard batch-windowing idiom)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .select("event_id", "user_id", "session_no")
+    )
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo: documents bytes as opaque media payloads
     through the (stubbed) decode operator."""
@@ -234,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "lang_id_counts": _q_lang_id,
+        "event_sessions": _q_event_sessions,
         "media_decode": _q_media_decode,
     }
 
@@ -321,6 +343,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings b, embeddings q
                 WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
             ) WHERE rank <= 5
+        """,
+        "event_sessions": """
+            SELECT event_id, user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_no
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
         """,
         # knn_lsh / minhash_lsh_pairs / simhash / lang_id_counts /
         # media_decode: hash/UDF semantics not reproducible in ANSI SQL ->
