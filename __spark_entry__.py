@@ -91,6 +91,17 @@ def _q_aida_prior_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_aida_prior_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIOR technique via the fully Catalyst-native fast path (window
+    argmax, no Python solver) — same oracle as the UDF-based variant."""
+    p = _pipeline(spark)
+    return (
+        p.triples(p.prior_only_assignments(_golden_df(spark)))
+        .select("subj", "pred", "obj")
+        .orderBy("subj")
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aida_spark.operators.dedup import exact_dedup
 
@@ -244,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "aida_triples_golden": _q_aida_triples,
         "aida_prior_only_golden": _q_aida_prior_only,
+        "aida_prior_fast_golden": _q_aida_prior_fast,
         "dedup_exact": _q_dedup_exact,
         "doc_token_count": _q_token_count,
         "doc_quality_counts": _q_quality_counts,
@@ -271,6 +283,13 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(subj, pred, obj)
         """,
         "aida_prior_only_golden": """
+            SELECT * FROM (VALUES
+                ('t1/0/17', 'linksTo', 'Kashmir'),
+                ('t1/0/28', 'linksTo', 'Knebworth_Festival'),
+                ('t1/0/5',  'linksTo', 'Larry_Page')
+            ) AS t(subj, pred, obj)
+        """,
+        "aida_prior_fast_golden": """
             SELECT * FROM (VALUES
                 ('t1/0/17', 'linksTo', 'Kashmir'),
                 ('t1/0/28', 'linksTo', 'Knebworth_Festival'),

@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -69,6 +69,9 @@ class PipelineConfig:
     # C5 fuzzy fallback: mentions with no exact dictionary hit are matched
     # against dictionary names by trigram Jaccard >= this; 0 disables
     fuzzy_min_sim: float = 0.0
+    # "trigram" = exact inverted-index join (C5); "lsh" = MinHash-LSH
+    # prefilter + trigram verify (C6, for very large dictionaries)
+    fuzzy_method: str = "trigram"
     # solve-stage group granularity: conversations hash into this many
     # buckets; one applyInPandas group per bucket amortizes the per-group
     # Arrow/pandas overhead over ~corpus/solve_buckets conversations.
@@ -320,15 +323,26 @@ class AidaPipeline:
         if cfg.fuzzy_min_sim > 0.0:
             # C5: trigram-Jaccard fallback for keys with no exact hit;
             # matched names contribute their candidates to the original key
-            from .operators.fuzzy import build_name_trigram_index, fuzzy_match
+            from .operators.fuzzy import (
+                build_name_trigram_index,
+                fuzzy_match,
+                fuzzy_match_lsh,
+            )
 
             unmatched = candidates.filter(F.col("entity").isNull()).select(
                 "conv_id", "mention_key"
             )
-            idx = build_name_trigram_index(
-                self.kb["dictionary"].select(F.col("mention"))
-            )
-            fz = fuzzy_match(unmatched, idx, cfg.fuzzy_min_sim)
+            if cfg.fuzzy_method == "lsh":
+                fz = fuzzy_match_lsh(
+                    unmatched,
+                    self.kb["dictionary"].select(F.col("mention")),
+                    cfg.fuzzy_min_sim,
+                )
+            else:
+                idx = build_name_trigram_index(
+                    self.kb["dictionary"].select(F.col("mention"))
+                )
+                fz = fuzzy_match(unmatched, idx, cfg.fuzzy_min_sim)
             fz_cand = (
                 unmatched.join(fz, "mention_key")
                 .join(
@@ -482,6 +496,77 @@ class AidaPipeline:
             .groupBy("_sbucket")
             .cogroup(payload.withColumn("_sbucket", bucket).groupBy("_sbucket"))
             .applyInPandas(solve_bucket, ASSIGNMENT_SCHEMA)
+        )
+
+    # ---- PRIOR-only fast path (M10), fully Catalyst-native -------------
+    def prior_only_assignments(self, transcripts: DataFrame) -> DataFrame:
+        """The PRIOR technique as pure DataFrame ops — no Python solver:
+        spot mentions (with spans), broadcast-join the dictionary, argmax
+        prior per mention via a row_number window. This is the plan the
+        optimizer fully owns (pushdown, broadcast, WindowGroupLimit) and
+        the throughput ceiling for the pipeline skeleton."""
+        b_keys = self._b_mention_keys
+        unknown_caps = self.cfg.fuzzy_min_sim > 0.0
+
+        spot_schema = StructType(
+            [
+                StructField("conv_id", StringType()),
+                StructField("turn_idx", IntegerType()),
+                StructField("mention", StringType()),
+                StructField("mention_key", StringType()),
+                StructField("char_offset", IntegerType()),
+                StructField("char_length", IntegerType()),
+            ]
+        )
+
+        def spot_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            keys = b_keys.value
+            for pdf in batches:
+                rows = []
+                for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+                ):
+                    clean, manual = parse_markup(text or "")
+                    toks = tokenize(clean)
+                    for m in spot_mentions(
+                        toks, manual, keys, include_unknown_caps=unknown_caps
+                    ):
+                        rows.append(
+                            (
+                                conv_id,
+                                int(turn_idx),
+                                m.surface,
+                                conflate(m.surface),
+                                m.char_offset,
+                                m.char_length,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in spot_schema.fields]
+                )
+
+        mentions = transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+            spot_full, spot_schema
+        )
+        dictionary = self.kb["dictionary"].select(
+            F.col("mention").alias("mention_key"), "entity", "prior"
+        )
+        w = Window.partitionBy(
+            "conv_id", "turn_idx", "char_offset"
+        ).orderBy(F.desc("prior"), F.desc("entity"))
+        return (
+            mentions.join(F.broadcast(dictionary), "mention_key")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "mention",
+                "char_offset",
+                "char_length",
+                "entity",
+                F.col("prior").alias("score"),
+            )
         )
 
     # ---- stage E: triples ---------------------------------------------

@@ -180,3 +180,55 @@ def test_salted_shuffle_join_matches_broadcast(spark):
     a = sorted(map(tuple, p_bc.run(df).select("subj", "obj").collect()))
     b = sorted(map(tuple, p_salt.run(df).select("subj", "obj").collect()))
     assert a == b and len(a) > 0
+
+
+def test_prior_only_catalyst_path_matches_udf_path(spark):
+    """The Catalyst-native PRIOR fast path must agree with the Python
+    solver running technique='prior'."""
+    from aida_spark.core.disambiguate import DisambiguationConfig
+
+    corpus = synth_transcripts(15, 5, seed=29, hot_key_skew=0.3)
+    df = spark.createDataFrame(corpus)
+    p = AidaPipeline(spark, kb_tables(), PipelineConfig())
+    fast = p.triples(p.prior_only_assignments(df))
+    p_udf = AidaPipeline(
+        spark,
+        kb_tables(),
+        PipelineConfig(disambiguation=DisambiguationConfig(technique="prior")),
+    )
+    slow = p_udf.run(df)
+    a = sorted(map(tuple, fast.select("subj", "obj").collect()))
+    b = sorted(map(tuple, slow.select("subj", "obj").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_fuzzy_lsh_method_matches_trigram(spark):
+    """C6: the MinHash-LSH fuzzy prefilter finds the same matches as the
+    exact trigram index on the fixture (recall may differ on larger
+    dictionaries; precision is exact after the verify step)."""
+    import datetime as dt
+
+    rows = [
+        (
+            "c1", 0, "user",
+            "When Pagee played Kashmirr at Knebworth.", "",
+            dt.datetime(2026, 1, 1),
+        )
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    )
+    results = {}
+    for method in ("trigram", "lsh"):
+        p = AidaPipeline(
+            spark,
+            kb_tables(),
+            PipelineConfig(fuzzy_min_sim=0.4, fuzzy_method=method),
+        )
+        results[method] = sorted(
+            (r["mention"], r["obj"]) for r in p.run(df).collect()
+        )
+    assert results["trigram"] == results["lsh"]
+    assert ("Pagee", "Jimmy_Page") in results["lsh"]
