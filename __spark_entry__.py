@@ -212,6 +212,41 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join (orders -> customer -> nation -> region) with a
+    count aggregate; the dims broadcast, the fact scans once."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def _q_part_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x part join, distinct-agg per part type."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
 def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events stream table: a new session
     starts after >30 min of inactivity per user (lag + running sum —
@@ -268,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lang_id_counts": _q_lang_id,
         "event_sessions": _q_event_sessions,
+        "orders_per_region": _q_orders_per_region,
+        "part_type_supplier_counts": _q_part_type_supplier_counts,
         "media_decode": _q_media_decode,
     }
 
@@ -362,6 +399,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings b, embeddings q
                 WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
             ) WHERE rank <= 5
+        """,
+        "orders_per_region": """
+            SELECT r_name,
+                   COUNT(*) AS n_orders,
+                   COUNT(DISTINCT o_custkey) AS n_customers
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "part_type_supplier_counts": """
+            SELECT p_type,
+                   COUNT(*) AS n_items,
+                   COUNT(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_type
         """,
         "event_sessions": """
             SELECT event_id, user_id,

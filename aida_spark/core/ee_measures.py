@@ -44,11 +44,35 @@ class EEWeightContext:
         keyword_alpha: float = 0.0,
         keyphrase_alpha: float = 1.0,
         normalize: bool = True,
+        average_weights: bool = False,
     ):
         self.kb = kb
         self.kw_alpha = keyword_alpha
         self.kp_alpha = keyphrase_alpha
         self.normalize = normalize
+        # K7 (WeightedKeyphrasesContext.averageMIweights:107-135): divide
+        # keyphrase MI and IDF weights by their global mean over the
+        # entity universe, making the two families comparable
+        self._kp_mi_avg = 1.0
+        self._kp_idf_avg = 1.0
+        if average_weights:
+            mis, idfs = [], []
+            for e, kps in kb.entity_kps.items():
+                for kp in kps:
+                    mi = kb.kp_npmi(e, kp)
+                    if math.isfinite(mi):
+                        # zero-DF keyphrases yield +Inf NPMI in the
+                        # reference's arithmetic (see weights.compute_npmi)
+                        # and would degenerate the mean; the reference
+                        # only logs them as data errors, so exclude here
+                        mis.append(mi)
+                    idfs.append(self._raw_kp_idf(kp))
+            if mis:
+                avg = sum(mis) / len(mis)
+                self._kp_mi_avg = avg if avg != 0 else 1.0
+            if idfs:
+                avg = sum(idfs) / len(idfs)
+                self._kp_idf_avg = avg if avg != 0 else 1.0
 
     # -- keyword weights ------------------------------------------------
     def kw_idf(self, token: int) -> float:
@@ -73,7 +97,7 @@ class EEWeightContext:
         ) * self.kw_idf(token)
 
     # -- keyphrase weights ----------------------------------------------
-    def kp_idf(self, kp: int) -> float:
+    def _raw_kp_idf(self, kp: int) -> float:
         df = self.kb.kp_counts.get(kp)
         if not df:
             return 0.0
@@ -82,10 +106,13 @@ class EEWeightContext:
             idf = idf / log2(self.kb.collection_size)
         return idf
 
+    def kp_idf(self, kp: int) -> float:
+        return self._raw_kp_idf(kp) / self._kp_idf_avg
+
     def combined_kp(self, entity: str, kp: int) -> float:
-        return self.kp_alpha * self.kb.kp_npmi(entity, kp) + (
-            1.0 - self.kp_alpha
-        ) * self.kp_idf(kp)
+        return self.kp_alpha * (
+            self.kb.kp_npmi(entity, kp) / self._kp_mi_avg
+        ) + (1.0 - self.kp_alpha) * self.kp_idf(kp)
 
     # -- derived structures ----------------------------------------------
     def kp_tokens_nostop(self, kp: int) -> list[int]:

@@ -154,6 +154,12 @@ class EnsembleWeights:
     mi_no_prior: float = 0.58132103337
     idf_no_prior: float = 0.41867896662
     prior_threshold: float = 0.9
+    # M7: optional entity-importance term (LINEAR_COMBINATION strategy,
+    # EnsembleMES.java:190-201); source: "inlink_count" (InlinkCount
+    # Importance.java:30-45, |inlinks|/N) or "entity_rank" (1 - rank,
+    # AidaEntityImportance via entity_rank)
+    importance_weight: float = 0.0
+    importance_source: str = "inlink_count"
 
 
 class EnsembleScorer:
@@ -236,4 +242,12 @@ class EnsembleScorer:
                 sim += self.priors[mention_idx].get(entity, 0.0) * w.prior_weight
         else:
             sim = mi * w.mi_no_prior + idf * w.idf_no_prior
+        if w.importance_weight > 0.0:
+            if w.importance_source == "entity_rank":
+                importance = 1.0 - self.kb.entity_rank.get(entity, 1.0)
+            else:
+                importance = len(self.kb.inlinks.get(entity, ())) / float(
+                    self.kb.collection_size
+                )
+            sim += importance * w.importance_weight
         return sim

@@ -34,6 +34,12 @@ def compute_npmi(a: int, b: int, ab: int, total: int) -> float:
     joint = ab / total
     pa = a / total
     pb = b / total
+    if pa * pb == 0.0:
+        # Java double arithmetic: x/0.0 = +Inf, log(+Inf) = +Inf — the
+        # reference silently produces +Inf for a keyphrase with zero DF
+        # (e.g. the fixture's "Page" keyphrase, which is absent from
+        # allKeyphraseFrequencies); mirror it instead of raising.
+        return math.inf
     return math.log(joint / (pa * pb)) / -math.log(joint)
 
 

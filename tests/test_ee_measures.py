@@ -58,3 +58,38 @@ class TestOtherMeasures:
         s = ngd_similarity("Kashmir_(song)", "Jimmy_Page", ctx)
         assert 0.0 <= s <= 1.0
         assert ngd_similarity("Larry_Page", "Knebworth_Festival", ctx) == 0.0
+
+
+class TestK7Averaging:
+    def test_averaged_weights_keep_ordering(self):
+        ctx = EEWeightContext(build_kb(), average_weights=True)
+        ab = kore_similarity("Kashmir_(song)", "Jimmy_Page", ctx)
+        cd = kore_similarity("Larry_Page", "Knebworth_Festival", ctx)
+        assert ab > cd == 0.0
+
+
+class TestM7Importance:
+    def test_importance_term_adds_to_similarity(self):
+        from aida_spark.core.disambiguate import (
+            DisambiguationConfig,
+            disambiguate_document,
+            prepare,
+        )
+        from aida_spark.core.scoring import EnsembleWeights
+        from aida_spark.fixtures import GOLDEN_SENTENCE
+
+        kb = build_kb()
+        base = DisambiguationConfig()
+        with_imp = DisambiguationConfig(
+            weights=EnsembleWeights(
+                importance_weight=0.1, importance_source="entity_rank"
+            )
+        )
+        doc1 = prepare("t", GOLDEN_SENTENCE, kb)
+        doc2 = prepare("t", GOLDEN_SENTENCE, kb)
+        r1 = {m.mention.surface: m.entity
+              for m in disambiguate_document(doc1, kb, base)}
+        r2 = {m.mention.surface: m.entity
+              for m in disambiguate_document(doc2, kb, with_imp)}
+        # small importance weight must not flip the golden mapping
+        assert r1 == r2
