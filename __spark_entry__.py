@@ -268,6 +268,19 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation decisions (dedup/quality/lang),
+    drop reasons aggregated."""
+    from aida_spark.operators.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        curate_corpus(docs, min_chars=100, min_quality=0.3)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo: documents bytes as opaque media payloads
     through the (stubbed) decode operator."""
@@ -303,6 +316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "lang_id_counts": _q_lang_id,
         "event_sessions": _q_event_sessions,
+        "curate_corpus": _q_curate_corpus,
         "orders_per_region": _q_orders_per_region,
         "part_type_supplier_counts": _q_part_type_supplier_counts,
         "media_decode": _q_media_decode,

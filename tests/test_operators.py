@@ -208,3 +208,56 @@ class TestMultimodal:
         frames = sample_frames(self._media(spark), every_ms=500).collect()
         assert all(r["media_id"] == 3 for r in frames)
         assert len(frames) >= 2
+
+
+class TestCurate:
+    def test_curation_reasons_and_precedence(self, spark):
+        from aida_spark.operators.curate import curate_corpus
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "the cat and the dog sat in the garden of the old house by the river bank today",
+                    "the cat and the dog sat in the garden of the old house by the river bank today",
+                    "short",
+                    "der hund und die katze sind nicht in das haus aber sie sind in dem garten heute",
+                    "1234 5678 9999 0000 1111 2222 3333 4444 5555 6666 7777 8888",
+                ],
+            }
+        )
+        out = {
+            r["id"]: (r["keep"], r["reason"])
+            for r in curate_corpus(
+                spark.createDataFrame(pdf), min_chars=20, min_quality=0.3
+            ).collect()
+        }
+        assert out[1] == (True, "kept")
+        assert out[2] == (False, "exact_dup")  # duplicate of 1, higher id
+        assert out[3] == (False, "too_short")
+        assert out[4] == (False, "wrong_lang")
+        assert out[5][0] is False  # digit-heavy -> low_quality or wrong_lang
+        assert out[5][1] in ("low_quality", "wrong_lang")
+
+    def test_near_dup_gate(self, spark):
+        from aida_spark.operators.curate import curate_corpus
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog and runs to the forest",
+                    "the quick brown fox jumps over the lazy dog and runs to the forest!",
+                ],
+            }
+        )
+        out = {
+            r["id"]: r["reason"]
+            for r in curate_corpus(
+                spark.createDataFrame(pdf),
+                min_chars=10,
+                min_quality=0.0,
+                near_dup_threshold=0.5,
+            ).collect()
+        }
+        assert out == {1: "kept", 2: "near_dup"}
