@@ -268,6 +268,13 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aida_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.8)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation decisions (dedup/quality/lang),
     drop reasons aggregated."""
@@ -317,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": _q_lang_id,
         "event_sessions": _q_event_sessions,
         "curate_corpus": _q_curate_corpus,
+        "embedding_near_dups": _q_embedding_near_dups,
         "orders_per_region": _q_orders_per_region,
         "part_type_supplier_counts": _q_part_type_supplier_counts,
         "media_decode": _q_media_decode,

@@ -27,6 +27,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "embedding_near_dups",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -240,4 +241,61 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.col("isec") / (F.col("na") + F.col("nb") - F.col("isec")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table sign-LSH
+    self-join proposes candidates, exact cosine verifies. Returns
+    (id_a, id_b, sim) with sim >= threshold. The scale path for
+    embedding-level dedup of a training corpus."""
+    from .knn import cosine_sim_col, _hyperplanes
+    import numpy as np
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    all_planes = np.stack(
+        [_hyperplanes(dim, n_planes, 7 + t) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())
+        codes = np.empty((len(mat), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            bits = (mat @ all_planes[t]) > 0
+            codes[:, t] = bits @ weights + (t << n_planes)
+        return pd.Series(list(codes))
+
+    b = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.explode(buckets_udf(F.col(vec_col))).alias("bucket"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )

@@ -261,3 +261,33 @@ class TestCurate:
             ).collect()
         }
         assert out == {1: "kept", 2: "near_dup"}
+
+
+class TestEmbeddingNearDup:
+    def test_planted_near_duplicate_found(self, spark):
+        import numpy as np
+
+        from aida_spark.operators.dedup import embedding_near_dups
+
+        rng = np.random.RandomState(0)
+        v1 = rng.standard_normal(64)
+        v2 = v1 + rng.standard_normal(64) * 0.05
+        pdf = pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [
+                    v1.tolist(),
+                    v2.tolist(),
+                    rng.standard_normal(64).tolist(),
+                ],
+            }
+        )
+        out = embedding_near_dups(
+            spark.createDataFrame(pdf), threshold=0.9
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+
+    def test_random_embeddings_have_no_high_sim_pairs(self, spark, emb):
+        from aida_spark.operators.dedup import embedding_near_dups
+
+        assert embedding_near_dups(emb, threshold=0.8).count() == 0
