@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 
 from .kb import KBData
-from .weights import compute_mi, log2
+from .weights import log2
 
 __all__ = [
     "EEWeightContext",

@@ -27,7 +27,6 @@ weights are unnormalized 4-cell MI, keyword IDF is log2(N // df).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import lru_cache
 
 from .weights import compute_mi, compute_npmi, keyword_idf
 

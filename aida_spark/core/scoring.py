@@ -17,7 +17,7 @@ the Spark layer invokes it inside a grouped ``applyInPandas`` UDF.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .kb import KBData
 from .mincover import min_cover

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from .core.kb import OOKBE
 from .sources.conll import NME

@@ -232,3 +232,28 @@ def test_fuzzy_lsh_method_matches_trigram(spark):
         )
     assert results["trigram"] == results["lsh"]
     assert ("Pagee", "Jimmy_Page") in results["lsh"]
+
+
+def test_plan_properties(spark):
+    """Plan-shape regression gates: pruned scans, pushed filters,
+    rank-limited window, broadcast joins."""
+    import __spark_entry__ as e
+    from aida_spark.plans.inspect import assert_plan, scan_columns
+
+    # use sf0.01: other test modules persist() sf0.001 tables, and the
+    # CacheManager then swaps FileScan for InMemoryTableScan in these plans
+    sf = "/root/testdata/sf0.01"
+    # token count reads only (doc_id, text)
+    cols = scan_columns(e.queries()["doc_token_count"](spark, sf))
+    assert cols and set(cols[0]) == {"doc_id", "text"}
+    # top-k pushes the rank limit below the shuffle
+    assert_plan(
+        e.queries()["topk_orders_per_customer"](spark, sf),
+        contains=("WindowGroupLimit",),
+        max_scan_columns=3,
+    )
+    # knn broadcasts the query side
+    assert_plan(
+        e.queries()["knn_bruteforce"](spark, sf),
+        contains=("BroadcastNestedLoopJoin",),
+    )
