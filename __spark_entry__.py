@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 _PIPELINES: dict = {}
+_SHIPPED: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The driver supplies its own SparkSession; make sure executors can
+    import aida_spark regardless of that session's working directory."""
+    if id(spark) not in _SHIPPED:
+        try:
+            from aida_spark.session import ship_package
+
+            ship_package(spark)
+        except Exception:
+            pass  # already shipped or local import works via cwd
+        _SHIPPED.add(id(spark))
 
 
 def _pipeline(spark: SparkSession, technique: str = "graph"):
@@ -29,6 +43,7 @@ def _pipeline(spark: SparkSession, technique: str = "graph"):
     from aida_spark.pipeline import AidaPipeline, PipelineConfig
     from aida_spark.fixtures import kb_tables
 
+    _ensure_shipped(spark)
     key = (id(spark), technique)
     if key not in _PIPELINES:
         cfg = PipelineConfig(
@@ -306,28 +321,36 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+def _shipped(fn):
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return wrapper
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "aida_triples_golden": _q_aida_triples,
-        "aida_prior_only_golden": _q_aida_prior_only,
-        "aida_prior_fast_golden": _q_aida_prior_fast,
-        "dedup_exact": _q_dedup_exact,
-        "doc_token_count": _q_token_count,
-        "doc_quality_counts": _q_quality_counts,
-        "word_doc_freq": _q_word_doc_freq,
-        "topk_orders_per_customer": _q_topk_orders,
-        "user_event_counts": _q_user_event_counts,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "knn_lsh": _q_knn_lsh,
-        "minhash_lsh_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "lang_id_counts": _q_lang_id,
-        "event_sessions": _q_event_sessions,
-        "curate_corpus": _q_curate_corpus,
-        "embedding_near_dups": _q_embedding_near_dups,
-        "orders_per_region": _q_orders_per_region,
-        "part_type_supplier_counts": _q_part_type_supplier_counts,
-        "media_decode": _q_media_decode,
+        "aida_triples_golden": _shipped(_q_aida_triples),
+        "aida_prior_only_golden": _shipped(_q_aida_prior_only),
+        "aida_prior_fast_golden": _shipped(_q_aida_prior_fast),
+        "dedup_exact": _shipped(_q_dedup_exact),
+        "doc_token_count": _shipped(_q_token_count),
+        "doc_quality_counts": _shipped(_q_quality_counts),
+        "word_doc_freq": _shipped(_q_word_doc_freq),
+        "topk_orders_per_customer": _shipped(_q_topk_orders),
+        "user_event_counts": _shipped(_q_user_event_counts),
+        "knn_bruteforce": _shipped(_q_knn_bruteforce),
+        "knn_lsh": _shipped(_q_knn_lsh),
+        "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
+        "simhash": _shipped(_q_simhash),
+        "lang_id_counts": _shipped(_q_lang_id),
+        "event_sessions": _shipped(_q_event_sessions),
+        "curate_corpus": _shipped(_q_curate_corpus),
+        "embedding_near_dups": _shipped(_q_embedding_near_dups),
+        "orders_per_region": _shipped(_q_orders_per_region),
+        "part_type_supplier_counts": _shipped(_q_part_type_supplier_counts),
+        "media_decode": _shipped(_q_media_decode),
     }
 
 
