@@ -124,6 +124,72 @@ def keyphrase_similarity(
     return sim
 
 
+class _EntityScoreContext:
+    """Per-entity static scoring structure, computed once per conversation
+    and reused across mentions: for each keyphrase the non-stopword
+    keywords with their expansion ids and MI/IDF weights, plus the weight
+    totals. Pure caching — the math is identical to keyphrase_similarity."""
+
+    __slots__ = ("kps",)
+
+    def __init__(self, entity: str, kb: KBData):
+        self.kps = []
+        for kp in kb.entity_kps.get(entity, ()):
+            kws = []
+            mi_total = 0.0
+            idf_total = 0.0
+            for kw in kb.kp_tokens.get(kp, ()):
+                if kb.is_stopword(kw):
+                    continue
+                w_mi = kb.kw_mi(entity, kw)
+                w_idf = kb.kw_idf(kw)
+                kws.append((kw, kb.expand(kw), w_mi, w_idf))
+                mi_total += w_mi
+                idf_total += w_idf
+            self.kps.append((kws, mi_total, idf_total))
+
+
+def keyphrase_similarity_both(
+    mention: SpottedMention,
+    ectx: _EntityScoreContext,
+    index: InvertedIndex,
+) -> tuple[float, float]:
+    """One matching pass computing BOTH the MI- and IDF-weighted keyphrase
+    similarities (the match set is weight-independent, so the two measures
+    of the reference share it; UnnormalizedKeyphrasesBased{MI,IDF})."""
+    m_start, m_end = mention.start_token, mention.end_token
+    sim_mi = 0.0
+    sim_idf = 0.0
+    for kws, mi_all, idf_all in ectx.kps:
+        common_positions: list[list[int]] = []
+        mi_common = 0.0
+        idf_common = 0.0
+        for kw, expanded, w_mi, w_idf in kws:
+            matched = -1
+            if index.contains(kw, m_start, m_end):
+                matched = kw
+            elif index.contains(expanded, m_start, m_end):
+                matched = expanded
+            if matched != -1:
+                common_positions.append(index.positions(matched, m_start, m_end))
+                mi_common += w_mi
+                idf_common += w_idf
+        isec = len(common_positions)
+        if isec == 0:
+            continue
+        cover = float(min_cover(common_positions).length)
+        frac = isec / cover
+        if mi_all != 0.0:
+            s = mi_all * frac * (mi_common / mi_all) ** 2
+            if not math.isnan(s):
+                sim_mi += max(0.0, s)
+        if idf_all != 0.0:
+            s = idf_all * frac * (idf_common / idf_all) ** 2
+            if not math.isnan(s):
+                sim_idf += max(0.0, s)
+    return sim_mi, sim_idf
+
+
 def normalize_to_sum(scores: dict) -> dict:
     """CollectionUtils.normalizeValuesToSum: values / sum; unchanged if sum==0."""
     total = sum(scores.values())
@@ -196,16 +262,22 @@ class EnsembleScorer:
         self.best_prior: dict[int, float] = {}
         from .text import conflate
 
+        entity_ctx: dict[str, _EntityScoreContext] = {}
         for mi, m in enumerate(mentions):
             priors = kb.priors(conflate(m.surface))
             self.priors[mi] = priors
             self.best_prior[mi] = max(priors.values(), default=0.0)
-            for measure in ("mi", "idf"):
-                scores = {
-                    cand: keyphrase_similarity(m, cand, kb, self.index, measure)
-                    for cand, _prior in m.candidates
-                }
-                self.raw[measure][mi] = scores
+            mi_scores: dict[str, float] = {}
+            idf_scores: dict[str, float] = {}
+            for cand, _prior in m.candidates:
+                ectx = entity_ctx.get(cand)
+                if ectx is None:
+                    ectx = entity_ctx[cand] = _EntityScoreContext(cand, kb)
+                mi_scores[cand], idf_scores[cand] = keyphrase_similarity_both(
+                    m, ectx, self.index
+                )
+            self.raw["mi"][mi] = mi_scores
+            self.raw["idf"][mi] = idf_scores
         for measure in ("mi", "idf"):
             # Java inits min to Double.MAX_VALUE and max to 0.0
             lo, hi = float("inf"), 0.0
