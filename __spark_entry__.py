@@ -464,10 +464,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_sessions": """
             SELECT event_id, user_id,
-                   SUM(new_session) OVER (
+                   CAST(SUM(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
-                   ) AS session_no
+                   ) AS BIGINT) AS session_no
             FROM (
                 SELECT event_id, user_id, ts,
                        CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (

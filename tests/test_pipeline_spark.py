@@ -257,3 +257,16 @@ def test_plan_properties(spark):
         e.queries()["knn_bruteforce"](spark, sf),
         contains=("BroadcastNestedLoopJoin",),
     )
+
+
+def test_triples_sink_roundtrip(spark, pipeline, tmp_path):
+    from aida_spark.sinks import read_triples, write_triples
+
+    triples = pipeline.run(spark.createDataFrame(golden_transcript()))
+    write_triples(triples, str(tmp_path / "kg"), n_buckets=8)
+    back = read_triples(spark, str(tmp_path / "kg"))
+    assert sorted(map(tuple, back.select("subj", "obj").collect())) == sorted(
+        map(tuple, triples.select("subj", "obj").collect())
+    )
+    manifest = spark.read.parquet(str(tmp_path / "kg" / "manifest"))
+    assert manifest.agg({"rows": "sum"}).first()[0] == triples.count()
