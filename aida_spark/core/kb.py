@@ -89,6 +89,17 @@ class KBData:
             key=lambda ep: ep[0],
         )
 
+    def candidates_by_prefix(self, prefix: str, max_entity_rank: float = 1.0):
+        """C10 prefix lookup (interactive mode): union of candidates of all
+        dictionary names starting with the conflated prefix
+        (EntityLookupManager.java:87-89, DbLookup.java)."""
+        out: dict[str, float] = {}
+        for name in self.dictionary:
+            if name.startswith(prefix):
+                for e, p in self.candidates(name, max_entity_rank) or []:
+                    out[e] = max(out.get(e, 0.0), p)
+        return sorted(out.items())
+
     def priors(self, conflated_mention: str) -> dict[str, float]:
         entries = self.dictionary.get(conflated_mention) or []
         return {e: p for (e, p) in entries}

@@ -270,3 +270,32 @@ class TestSamplingConfidence:
         assert all(0.0 <= s <= 1.0 for _m, _e, s in runs[0])
         mapping = {m: e for m, e, _s in runs[0]}
         assert mapping["Page"] == "Jimmy_Page"
+
+
+class TestM4Measures:
+    def test_tfidf_cosine_orders_candidates(self, kb):
+        from aida_spark.core.me_measures import (
+            jaccard_me_similarity,
+            tfidf_cosine_similarity,
+            word_count_dot_similarity,
+        )
+
+        text = "When Page played Kashmir at Knebworth , his Les Paul was uniquely tuned ."
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        # Jimmy_Page's keywords (played, Les, Paul, tuned) appear; Kashmir's
+        # (China) does not
+        assert tfidf_cosine_similarity("Jimmy_Page", ids, kb) > \
+            tfidf_cosine_similarity("Kashmir", ids, kb) == 0.0
+        assert word_count_dot_similarity("Jimmy_Page", ids, kb) >= 4.0
+        assert word_count_dot_similarity("Kashmir", ids, kb) == 0.0
+        j = jaccard_me_similarity("Jimmy_Page", ids, kb)
+        assert 0.0 < j < 1.0
+
+
+class TestPrefixLookup:
+    def test_prefix_union(self, kb):
+        out = dict(kb.candidates_by_prefix("KA"))
+        assert set(out) == {"Kashmir", "Kashmir_(song)"}
+        out2 = dict(kb.candidates_by_prefix("PAGE"))
+        assert set(out2) == {"Jimmy_Page", "Larry_Page"}
+        assert kb.candidates_by_prefix("ZZZ") == []
