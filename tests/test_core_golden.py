@@ -299,3 +299,50 @@ class TestPrefixLookup:
         out2 = dict(kb.candidates_by_prefix("PAGE"))
         assert set(out2) == {"Jimmy_Page", "Larry_Page"}
         assert kb.candidates_by_prefix("ZZZ") == []
+
+
+class TestCocktailPartySizeConstrained:
+    def test_cpsc_scores(self, kb):
+        """CocktailPartySizeConstrainedTest.java:73-91: exact CPSC scores."""
+        doc = prepare("test", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(
+            doc, kb, DisambiguationConfig(algorithm="cpsc")
+        )
+        by_surface = {r.mention.surface: r for r in res}
+        assert by_surface["Page"].entity == "Jimmy_Page"
+        assert by_surface["Page"].score == pytest.approx(0.6, abs=1e-5)
+        assert by_surface["Kashmir"].entity == "Kashmir_(song)"
+        assert by_surface["Kashmir"].score == pytest.approx(0.08787, abs=1e-5)
+        assert by_surface["Knebworth"].entity == "Knebworth_Festival"
+        assert by_surface["Knebworth"].score == pytest.approx(0.33910, abs=1e-5)
+        assert by_surface["Les Paul"].entity == OOKBE
+        assert by_surface["Les Paul"].score == pytest.approx(0.0, abs=1e-5)
+
+
+class TestWeightComputationGoldens:
+    def test_npmi_monotonic_in_cooccurrence(self):
+        # WeightComputationTest.java: more co-occurrence -> higher NPMI
+        assert compute_npmi(3, 3, 2, 10) > compute_npmi(3, 3, 1, 10)
+
+
+class TestKeywordCosineOrdering:
+    def test_reference_ordering(self, kb):
+        """KeywordCosineEntityEntitySimilarityTest.java:30-62 (ordering
+        assertions; kwAlpha=0, normalized weights)."""
+        from aida_spark.core.ee_measures import (
+            EEWeightContext,
+            keyword_cosine_similarity,
+        )
+
+        ctx = EEWeightContext(
+            kb, keyword_alpha=0.0, keyphrase_alpha=1.0, normalize=True
+        )
+        ab = keyword_cosine_similarity("Kashmir_(song)", "Jimmy_Page", ctx)
+        ac = keyword_cosine_similarity("Kashmir_(song)", "Larry_Page", ctx)
+        bd = keyword_cosine_similarity("Jimmy_Page", "Knebworth_Festival", ctx)
+        cd = keyword_cosine_similarity("Larry_Page", "Knebworth_Festival", ctx)
+        ad = keyword_cosine_similarity("Kashmir_(song)", "Knebworth_Festival", ctx)
+        assert ab > ac
+        assert ad < ab
+        assert bd > cd
+        assert cd == pytest.approx(0.0, abs=1e-3)
