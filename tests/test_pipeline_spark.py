@@ -270,3 +270,40 @@ def test_triples_sink_roundtrip(spark, pipeline, tmp_path):
     )
     manifest = spark.read.parquet(str(tmp_path / "kg" / "manifest"))
     assert manifest.agg({"rows": "sum"}).first()[0] == triples.count()
+
+
+def test_cross_turn_context_changes_disambiguation(spark, pipeline):
+    """The conversation IS the document: context in a later turn must
+    influence the disambiguation of a mention in an earlier turn."""
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("solo", 0, "user", "Kashmir.", "", ts),
+        ("ctx", 0, "user", "Kashmir.", "", ts),
+        ("ctx", 1, "assistant", "Led Zeppelin played with Robert Plant.", "", ts),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    )
+    out = {r["subj"]: r["obj"] for r in pipeline.run(df).collect()}
+    assert out["solo/0/0"] == "Kashmir"          # prior-dominant alone
+    assert out["ctx/0/0"] == "Kashmir_(song)"    # flipped by turn-1 context
+
+
+def test_input_row_order_invariance(spark, pipeline):
+    """input_hint invariant: results depend on (conv_id, turn_idx), never
+    on the physical row order of the input."""
+    corpus = synth_transcripts(10, 6, seed=37)
+    shuffled = corpus.sample(frac=1.0, random_state=99).reset_index(drop=True)
+    a = sorted(
+        map(tuple, pipeline.run(spark.createDataFrame(corpus))
+            .select("subj", "obj").collect())
+    )
+    b = sorted(
+        map(tuple, pipeline.run(spark.createDataFrame(shuffled))
+            .select("subj", "obj").collect())
+    )
+    assert a == b and len(a) > 0
