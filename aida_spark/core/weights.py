@@ -18,9 +18,17 @@ __all__ = ["log2", "compute_npmi", "compute_mi", "keyword_idf", "keyphrase_idf"]
 
 
 def log2(x: float) -> float:
-    # Mirrors WeightComputation.log2 (Math.log(x)/Math.log(2)), NOT math.log2,
-    # to keep bit-for-bit float parity with the reference.
-    return math.log(x) / math.log(2)
+    # Mirrors WeightComputation.log2 (Math.log(x)/Math.log(2)) including
+    # Java's IEEE edge cases: Math.log(0) = -Inf, Math.log(negative) = NaN
+    # (python's math.log raises instead). Inconsistent counts — e.g. an
+    # entity-keyword co-occurrence larger than the keyword's document
+    # frequency — produce a NaN score in the reference and are zeroed by
+    # the NaN check downstream; generated universes hit this.
+    if x > 0.0:
+        return math.log(x) / math.log(2)
+    if x == 0.0:
+        return -math.inf
+    return math.nan
 
 
 def compute_npmi(a: int, b: int, ab: int, total: int) -> float:

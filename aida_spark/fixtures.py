@@ -430,3 +430,127 @@ def synth_conll_corpus(n_docs: int, seed: int = 42):
             )
         docs.append(doc)
     return docs, ground_truth_table(docs)
+
+
+def synth_universe(
+    n_entities: int = 200,
+    n_mentions: int = 120,
+    seed: int = 7,
+    max_candidates: int = 4,
+) -> KBData:
+    """A larger generated entity universe with the same schema as the
+    7-entity fixture (FIXTURES.md §4 "optionally a larger generated
+    universe"): seeded, order-stable, ids via insertion order; keyphrase/
+    keyword weights derived from counts by the same formulas."""
+    rng = random.Random(seed)
+    vocab = [f"word{i:04d}" for i in range(400)]
+    entities = [f"Entity_{i:04d}" for i in range(n_entities)]
+
+    word2id: dict[str, int] = {}
+    expansions: dict[int, int] = {}
+    next_id = [1]
+
+    def add_word(w: str) -> int:
+        if w in word2id:
+            return word2id[w]
+        wid = next_id[0]; next_id[0] += 1
+        word2id[w] = wid
+        upper = w.upper()
+        if upper in word2id:
+            uid = word2id[upper]
+        else:
+            uid = next_id[0]; next_id[0] += 1
+            word2id[upper] = uid
+        expansions[wid] = uid
+        return wid
+
+    entity_kps: dict[str, list[int]] = {}
+    kp_tokens: dict[int, list[int]] = {}
+    entity_kp_count: dict[tuple[str, int], int] = {}
+    entity_kw_count: dict[tuple[str, int], int] = {}
+    kp_counts: dict[int, int] = {}
+    kw_counts: dict[int, int] = {}
+    for e in entities:
+        kps = []
+        for _ in range(rng.randint(1, 5)):
+            words = rng.sample(vocab, rng.randint(1, 3))
+            phrase = " ".join(words)
+            kp_id = add_word(phrase)
+            if kp_id not in kp_tokens:
+                kp_tokens[kp_id] = [add_word(w) for w in words]
+                kp_counts[kp_id] = rng.randint(5, 300)
+                for t in kp_tokens[kp_id]:
+                    kw_counts[t] = rng.randint(5, 300)
+            count = rng.randint(1, 12)
+            if (e, kp_id) not in entity_kp_count:
+                kps.append(kp_id)
+                entity_kp_count[(e, kp_id)] = count
+                for t in kp_tokens[kp_id]:
+                    key = (e, t)
+                    entity_kw_count[key] = entity_kw_count.get(key, 0) + count
+        entity_kps[e] = kps
+
+    dictionary: dict[str, list[tuple[str, float]]] = {}
+    mention_names = [f"Name{i:04d}" for i in range(n_mentions)]
+    for m in mention_names:
+        cands = rng.sample(entities, rng.randint(1, max_candidates))
+        raw = [rng.random() for _ in cands]
+        total = sum(raw)
+        dictionary[m.upper()] = [
+            (e, round(r / total, 6)) for e, r in zip(sorted(cands), raw)
+        ]
+
+    entity2id = {e: i + 2 for i, e in enumerate(entities)}
+    entity_rank = {e: i / len(entities) for i, e in enumerate(entities)}
+    inlinks = {
+        e: tuple(sorted(rng.sample(range(2, n_entities + 2), rng.randint(0, 8))))
+        for e in entities
+    }
+    stopword_ids = {word2id.get(w, 0) for w in STOPWORDS} | {
+        word2id.get(s, 0) for s in SYMBOLS
+    }
+    return KBData(
+        collection_size=COLLECTION_SIZE,
+        word2id=word2id,
+        expansions=expansions,
+        stopword_ids=stopword_ids,
+        entity2id=entity2id,
+        dictionary=dictionary,
+        entity_rank=entity_rank,
+        entity_kps=entity_kps,
+        kp_tokens=kp_tokens,
+        kw_counts=kw_counts,
+        kp_counts=kp_counts,
+        entity_counts={e: rng.randint(2, 40) for e in entities},
+        entity_kp_count=entity_kp_count,
+        entity_kw_count=entity_kw_count,
+        inlinks=inlinks,
+    )
+
+
+def synth_universe_transcripts(
+    kb: KBData, n_conversations: int, turns_per_conv: int = 6, seed: int = 8
+) -> pd.DataFrame:
+    """Transcripts over a generated universe: turns mix mention names and
+    keyphrase words so candidates get non-trivial context scores."""
+    rng = random.Random(seed)
+    id2word = {v: k for k, v in kb.word2id.items()}
+    names = [n.capitalize() for n in kb.dictionary]
+    rows = []
+    for c in range(n_conversations):
+        conv_id = f"u{c:06d}"
+        for t in range(turns_per_conv):
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                parts.append(rng.choice(names))
+                # pull context words from a random entity's keyphrases
+                e = rng.choice(list(kb.entity_kps))
+                for kp in kb.entity_kps[e][:2]:
+                    for tok in kb.kp_tokens[kp]:
+                        parts.append(id2word[tok])
+            text = " ".join(parts) + "."
+            ts = _EPOCH + _dt.timedelta(seconds=c * 100 + t)
+            rows.append((conv_id, t, "user", text, "", ts))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )

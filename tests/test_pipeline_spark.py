@@ -307,3 +307,40 @@ def test_input_row_order_invariance(spark, pipeline):
             .select("subj", "obj").collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_generated_universe_core_spark_equality(spark):
+    """Payload-assembly stress: on a generated 200-entity / 120-name
+    universe (multi-token keyphrases, up-to-4-way ambiguity), the Spark
+    pipeline must produce exactly the core solver's triples."""
+    from aida_spark.core.disambiguate import Document
+    from aida_spark.fixtures import synth_universe, synth_universe_transcripts
+    from aida_spark.pipeline import _build_conversation_doc
+
+    kb = synth_universe()
+    corpus = synth_universe_transcripts(kb, 40, turns_per_conv=5, seed=3)
+
+    cfg = DisambiguationConfig()
+    expected = set()
+    keys = set(kb.dictionary.keys())
+    for conv_id, grp in corpus.groupby("conv_id"):
+        tokens, mentions, mention_turn = _build_conversation_doc(grp, keys)
+        doc = Document(
+            doc_id=str(conv_id),
+            tokens=tokens,
+            token_ids=[kb.word_id(t) for t in tokens],
+            mentions=mentions,
+        )
+        for r, turn in zip(disambiguate_document(doc, kb, cfg), mention_turn):
+            if r.entity != OOKBE:
+                expected.add(
+                    (f"{conv_id}/{turn}/{r.mention.char_offset}", r.entity)
+                )
+
+    pipe = AidaPipeline(spark, kb_tables(kb), PipelineConfig())
+    got = {
+        (r["subj"], r["obj"])
+        for r in pipe.run(spark.createDataFrame(corpus)).collect()
+    }
+    assert len(expected) > 100
+    assert got == expected
