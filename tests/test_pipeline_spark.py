@@ -344,3 +344,34 @@ def test_generated_universe_core_spark_equality(spark):
     }
     assert len(expected) > 100
     assert got == expected
+
+
+def test_all_features_enabled_together(spark, tmp_path):
+    """Feature-interaction gate: fuzzy lookup + chunking + shuffle join
+    with salting + checkpointing enabled simultaneously must still produce
+    the golden triples and resume cleanly."""
+    from aida_spark.lineage import BucketCheckpoint
+
+    cfg = PipelineConfig(
+        fuzzy_min_sim=0.4,
+        max_turns_per_chunk=2,
+        broadcast_dictionary=False,
+        mention_key_salt=4,
+        solve_buckets=32,
+    )
+    p = AidaPipeline(spark, kb_tables(), cfg)
+    corpus = pd.concat(
+        [golden_transcript(), synth_transcripts(6, 5, seed=41)]
+    )
+    df = spark.createDataFrame(corpus)
+    ck = BucketCheckpoint(spark, str(tmp_path / "ck"), n_buckets=8)
+    first = {
+        (r["subj"], r["obj"]) for r in p.run(df, checkpoint=ck).collect()
+    }
+    assert ("t1/0/5", "Jimmy_Page") in first
+    assert ("t1/0/17", "Kashmir_(song)") in first
+    # resume: identical output
+    second = {
+        (r["subj"], r["obj"]) for r in p.run(df, checkpoint=ck).collect()
+    }
+    assert first == second
