@@ -38,16 +38,19 @@ def _ensure_shipped(spark: SparkSession) -> None:
         _SHIPPED.add(id(spark))
 
 
-def _pipeline(spark: SparkSession, technique: str = "graph"):
+def _pipeline(
+    spark: SparkSession, technique: str = "graph", max_turns_per_chunk: int = 0
+):
     from aida_spark.core.disambiguate import DisambiguationConfig
     from aida_spark.pipeline import AidaPipeline, PipelineConfig
     from aida_spark.fixtures import kb_tables
 
     _ensure_shipped(spark)
-    key = (id(spark), technique)
+    key = (id(spark), technique, max_turns_per_chunk)
     if key not in _PIPELINES:
         cfg = PipelineConfig(
-            disambiguation=DisambiguationConfig(technique=technique)
+            disambiguation=DisambiguationConfig(technique=technique),
+            max_turns_per_chunk=max_turns_per_chunk,
         )
         _PIPELINES[key] = AidaPipeline(spark, kb_tables(), cfg)
     return _PIPELINES[key]
@@ -112,6 +115,31 @@ def _q_aida_prior_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipeline(spark)
     return (
         p.triples(p.prior_only_assignments(_golden_df(spark)))
+        .select("subj", "pred", "obj")
+        .orderBy("subj")
+    )
+
+
+def _q_aida_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 chunking + O3 reconciliation end-to-end: the golden sentence as a
+    two-turn conversation solved at max_turns_per_chunk=1 — each turn is an
+    independent chunk, reconciled by surface form, and must reproduce the
+    reference GRAPH entities per turn."""
+    from aida_spark.fixtures import GOLDEN_SENTENCE
+    import datetime
+    import pandas as pd
+
+    epoch = datetime.datetime(2026, 1, 1)
+    two_turn = pd.DataFrame(
+        [
+            ("t1", 0, "user", GOLDEN_SENTENCE, "", epoch),
+            ("t1", 1, "assistant", GOLDEN_SENTENCE, "", epoch),
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    return (
+        _pipeline(spark, max_turns_per_chunk=1)
+        .run(spark.createDataFrame(two_turn))
         .select("subj", "pred", "obj")
         .orderBy("subj")
     )
@@ -195,18 +223,30 @@ def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN, recall-gated by the oracle: with enough independent hash
+    tables the LSH result must EQUAL the exact cosine top-k (the oracle is
+    the same SQL as knn_bruteforce), i.e. driver-verified recall = 1.0."""
     from aida_spark.operators.knn import lsh_bucketed_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, k=5)
+    # params sized for full recall on this corpus: true top-5 cosines go
+    # as low as ~0.3 (theta ~72deg, per-plane collision p ~0.6), so with 2
+    # planes x 32 tables the per-neighbor miss probability is
+    # (1 - 0.6^2)^32 ~ 1e-6 — the oracle equality IS the recall gate.
+    return lsh_bucketed_topk(
+        emb, queries, k=5, n_planes=2, n_tables=32
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified with EXACT shingle Jaccard — the
+    oracle recomputes the exact pair set in SQL, so the driver checks both
+    precision and recall of the banding at this threshold."""
     from aida_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.9).select("id_a", "id_b")
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,10 +324,19 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection over the corpus plus planted duplicate
+    vectors (vec_id < 20 copied to vec_id + 100000): the LSH self-join must
+    recover every pair the oracle's exact all-pairs cosine finds."""
     from aida_spark.operators.dedup import embedding_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(emb, threshold=0.8)
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_near_dups(
+        allv, threshold=0.9, n_planes=6, n_tables=8, dim=64
+    ).select("id_a", "id_b")
 
 
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aida_triples_golden": _shipped(_q_aida_triples),
         "aida_prior_only_golden": _shipped(_q_aida_prior_only),
         "aida_prior_fast_golden": _shipped(_q_aida_prior_fast),
+        "aida_triples_chunked": _shipped(_q_aida_chunked),
         "dedup_exact": _shipped(_q_dedup_exact),
         "doc_token_count": _shipped(_q_token_count),
         "doc_quality_counts": _shipped(_q_quality_counts),
@@ -376,6 +426,16 @@ def oracle_sql() -> dict[str, str]:
                 ('t1/0/17', 'linksTo', 'Kashmir'),
                 ('t1/0/28', 'linksTo', 'Knebworth_Festival'),
                 ('t1/0/5',  'linksTo', 'Larry_Page')
+            ) AS t(subj, pred, obj)
+        """,
+        "aida_triples_chunked": """
+            SELECT * FROM (VALUES
+                ('t1/0/17', 'linksTo', 'Kashmir_(song)'),
+                ('t1/0/28', 'linksTo', 'Knebworth_Festival'),
+                ('t1/0/5',  'linksTo', 'Jimmy_Page'),
+                ('t1/1/17', 'linksTo', 'Kashmir_(song)'),
+                ('t1/1/28', 'linksTo', 'Knebworth_Festival'),
+                ('t1/1/5',  'linksTo', 'Jimmy_Page')
             ) AS t(subj, pred, obj)
         """,
         "dedup_exact": """
@@ -480,7 +540,137 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
         """,
-        # knn_lsh / minhash_lsh_pairs / simhash / lang_id_counts /
-        # media_decode: hash/UDF semantics not reproducible in ANSI SQL ->
-        # rows-only checks.
+        # knn_lsh is recall-gated: with 32 independent hash tables over 500
+        # vectors the LSH candidates cover the true top-k, so the result
+        # must EQUAL the exact cosine top-k (same SQL as knn_bruteforce).
+        "knn_lsh": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               b.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                           ) DESC, b.vec_id ASC
+                       ) AS rank
+                FROM embeddings b, embeddings q
+                WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
+        # minhash_lsh_pairs reports only exact-shingle-Jaccard-verified
+        # pairs over exact-dup representatives; the oracle recomputes the
+        # full exact pair set, checking banding precision AND recall.
+        "minhash_lsh_pairs": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+                FROM documents
+            ), reps AS (
+                SELECT min(id) AS id, min(s) AS s FROM norm GROUP BY md5(s)
+            ), grams AS (
+                SELECT DISTINCT id, substring(s, i, 5) AS g
+                FROM reps, unnest(generate_series(1, greatest(len(s)-4, 1))) AS t(i)
+            ), sizes AS (
+                SELECT id, count(*) AS n FROM grams GROUP BY id
+            ), isec AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b
+            FROM isec
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+        """,
+        "lang_id_counts": """
+            WITH h AS (
+                SELECT doc_id,
+                    len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                        ['the','and','of','to','in','is','that','it','was','for'])) AS h_en,
+                    len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                        ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS h_de,
+                    len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                        ['le','la','et','les','des','est','que','une','dans','pour'])) AS h_fr,
+                    len(list_intersect(string_split_regex(lower(trim(text)), '\\s+'),
+                        ['el','la','los','que','de','es','una','por','con','para'])) AS h_es
+                FROM documents
+            )
+            SELECT lang_pred, COUNT(*) AS n FROM (
+                SELECT CASE
+                    WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                    WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+                FROM h
+            ) GROUP BY lang_pred
+        """,
+        "curate_corpus": """
+            WITH words AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                    length(text) AS n_chars,
+                    length(regexp_replace(text,
+                        '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS n_punct,
+                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+                    len(w) AS n_words,
+                    len(list_intersect(w,
+                        ['the','and','of','to','in','is','that','it','was','for'])) AS stop_hits,
+                    len(list_intersect(w,
+                        ['der','die','und','das','ist','nicht','ein','mit','von','zu'])) AS h_de,
+                    len(list_intersect(w,
+                        ['le','la','et','les','des','est','que','une','dans','pour'])) AS h_fr,
+                    len(list_intersect(w,
+                        ['el','la','los','que','de','es','una','por','con','para'])) AS h_es,
+                    ROW_NUMBER() OVER (
+                        PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                        '\\s+', ' ', 'g'))
+                        ORDER BY doc_id
+                    ) AS dup_rank
+                FROM words
+            ), scored AS (
+                SELECT doc_id, n_chars, dup_rank,
+                    greatest(0.0, least(1.0,
+                        0.5 + stop_hits / (n_words + 1)
+                            - n_punct / (n_chars + 1)
+                            - n_digits / (n_chars + 1))) AS quality_score,
+                    CASE
+                        WHEN greatest(stop_hits, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                        WHEN stop_hits = greatest(stop_hits, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(stop_hits, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(stop_hits, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+                FROM feats
+            )
+            SELECT reason, COUNT(*) AS n FROM (
+                SELECT CASE
+                    WHEN dup_rank > 1 THEN 'exact_dup'
+                    WHEN n_chars < 100 THEN 'too_short'
+                    WHEN n_chars > 100000 THEN 'too_long'
+                    WHEN quality_score < 0.3 THEN 'low_quality'
+                    WHEN lang_pred NOT IN ('en') THEN 'wrong_lang'
+                    ELSE 'kept' END AS reason
+                FROM scored
+            ) GROUP BY reason
+        """,
+        # embedding_near_dups: exact all-pairs cosine over the corpus plus
+        # the planted duplicates — the LSH path must find every such pair.
+        "embedding_near_dups": """
+            WITH allv AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM allv a, allv b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(
+                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        """,
+        # simhash / media_decode: hash-mixing / binary-decode semantics not
+        # reproducible in ANSI SQL -> rows-only checks.
     }

@@ -59,7 +59,10 @@ def mi_expr(a, b, ab, total):
         + p_dnk * _log2(p_dnk / (p_d * p_nk))
         + p_ndnk * _log2(p_ndnk / (p_nd * p_nk))
     )
-    return F.when(F.isnan(score), 0.0).otherwise(score)
+    # F.log returns NULL (not NaN) for non-positive args (e.g. a-ab < 0 on
+    # inconsistent counts); the reference zeroes NaN (KeyphrasesContext), so
+    # map both NaN and NULL to 0.0 or the NULL would poison the MI total.
+    return F.coalesce(F.when(F.isnan(score), 0.0).otherwise(score), F.lit(0.0))
 
 
 def idf_expr(df_col, collection_size: int):

@@ -22,7 +22,6 @@ only touches the buckets they hash into.
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,9 +72,26 @@ class BucketCheckpoint:
             f"{self.base}/{stage}/lineage",
         )
 
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        return fs, hpath
+
+    def _delete_path(self, path: str) -> None:
+        fs, hpath = self._hadoop_fs(path)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+
     def lineage(self, stage: str) -> DataFrame | None:
+        # Probe via the Hadoop FileSystem API, not os.path.exists — the
+        # checkpoint base may be hdfs:// or s3a:// where a local stat is
+        # always false and would silently force full recompute every run.
         _, lin = self._paths(stage)
-        if not os.path.exists(lin):
+        fs, hpath = self._hadoop_fs(lin)
+        if not fs.exists(hpath):
             return None
         return self.spark.read.parquet(lin)
 
@@ -100,16 +116,24 @@ class BucketCheckpoint:
                     F.col(BUCKET_COL), F.col("input_hash").alias("prior_hash")
                 ).alias("p"),
                 BUCKET_COL,
-                "left",
+                "full",
             )
             dirty = joined.filter(
                 F.col("prior_hash").isNull()
+                | F.col("input_hash").isNull()
                 | (F.col("input_hash") != F.col("prior_hash"))
             )
             dirty_buckets = [r[BUCKET_COL] for r in dirty.collect()]
             if not dirty_buckets:
                 current.unpersist()
                 return self.spark.read.parquet(data_path).drop(BUCKET_COL)
+            # Dynamic partition overwrite only rewrites partitions the new
+            # output *contains*: a dirty bucket whose recompute yields zero
+            # rows, or a bucket whose input vanished entirely, would keep
+            # its stale partition on disk and be read back as current.
+            # Delete every dirty/removed bucket's partition up front.
+            for b in dirty_buckets:
+                self._delete_path(f"{data_path}/{BUCKET_COL}={b}")
 
         t0 = time.time()
         if dirty_buckets is None:

@@ -6,9 +6,13 @@ Scale notes (100 TB design point):
 - MinHash signatures are computed in an Arrow-batched pandas UDF (numpy,
   vectorized over the batch); banding turns near-dup search into an
   equi-join on (band_id, band_hash) — shuffle keys are hashes, so skew only
-  arises from true duplicate explosions, which is exactly what AQE skew
-  join splitting handles.
-- candidate pairs are verified with exact n-gram Jaccard before reporting.
+  arises from true duplicate explosions. Those are bounded by an
+  exact-dedup pre-pass: identical texts collapse to one representative
+  before banding, so a 1k-copy cluster contributes O(1) bucket rows, not
+  O(10^6) candidate pairs.
+- candidate pairs are verified with EXACT char-shingle Jaccard (set
+  arithmetic over the normalized text) before reporting — the LSH banding
+  only proposes, never decides.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 __all__ = [
     "exact_dedup",
@@ -112,13 +116,33 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     jaccard_threshold: float = 0.7,
 ) -> DataFrame:
-    """Near-duplicate pairs: shingle -> minhash -> band -> bucket equi-join
-    -> exact-signature Jaccard verify. Returns (id_a, id_b, sim)."""
+    """Near-duplicate pairs: exact-dedup pre-pass -> shingle -> minhash ->
+    band/bucket equi-join -> EXACT shingle-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) over exact-duplicate *representatives*
+    (the min id per identical normalized text): identical copies are
+    ``exact_dedup``'s job, and collapsing them first bounds the same-bucket
+    candidate blowup on duplicate-heavy corpora (a 1k-copy cluster adds one
+    bucket row, not ~10^6 candidate pairs).
+
+    The signature/banding stage only *proposes* candidates; every reported
+    pair's similarity is the exact distinct-char-k-gram Jaccard of the
+    whitespace-normalized lowercased texts, so estimate bias near the
+    threshold (64-perm sd ~0.06) cannot misclassify a pair.
+    """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+    # exact-dedup pre-pass: one representative per distinct normalized text
+    reps = (
+        base.groupBy(F.md5(F.col("norm")).alias("_h"))
+        .agg(F.min("id").alias("id"), F.min("norm").alias("norm"))
+        .drop("_h")
+    )
+    sigs = minhash_signatures(reps, id_col="id", text_col="norm",
+                              num_perm=num_perm, shingle_k=shingle_k)
     banded = sigs.select(
         "id",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -136,7 +160,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "signature", F.col("bb.band"), F.col("bb.bucket"))
+    ).select("id", F.col("bb.band"), F.col("bb.bucket"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -147,24 +171,35 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.signature").alias("sig_a"),
-            F.col("r.signature").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sim = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(num_perm))
+
+    @F.pandas_udf(DoubleType())
+    def exact_jaccard(na: pd.Series, nb: pd.Series) -> pd.Series:
+        k = shingle_k
+        out = np.empty(len(na), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(na, nb)):
+            gx = {x[j : j + k] for j in range(max(len(x) - k + 1, 1))}
+            gy = {y[j : j + k] for j in range(max(len(y) - k + 1, 1))}
+            inter = len(gx & gy)
+            out[i] = inter / (len(gx) + len(gy) - inter)
+        return pd.Series(out)
+
+    # candidate set << corpus: fetch texts for candidates only (two id
+    # equi-joins; AQE broadcasts the candidate side when it is small)
+    with_texts = (
+        cand.join(reps.select(F.col("id").alias("id_a"),
+                              F.col("norm").alias("norm_a")), "id_a")
+        .join(reps.select(F.col("id").alias("id_b"),
+                          F.col("norm").alias("norm_b")), "id_b")
+    )
     return (
-        cand.withColumn("sim", sim)
-        .filter(F.col("sim") >= jaccard_threshold)
-        .select("id_a", "id_b", "sim")
+        with_texts.withColumn(
+            "jaccard", exact_jaccard(F.col("norm_a"), F.col("norm_b"))
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -249,17 +284,27 @@ def embedding_near_dups(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
-    n_tables: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-table sign-LSH
     self-join proposes candidates, exact cosine verifies. Returns
     (id_a, id_b, sim) with sim >= threshold. The scale path for
-    embedding-level dedup of a training corpus."""
+    embedding-level dedup of a training corpus.
+
+    Sizing: expected bucket width is N / 2^n_planes per table, and the
+    candidate self-join is quadratic in bucket width — pick
+    ``n_planes ~ ceil(log2(N / target_bucket))`` (e.g. 17 planes for 10^9
+    vectors at ~8k-row buckets); recall at a given threshold is recovered
+    by raising ``n_tables`` (union of independent probes). Pass ``dim``
+    explicitly to avoid the one-row lookup job.
+    """
     from .knn import cosine_sim_col, _hyperplanes
     import numpy as np
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     all_planes = np.stack(
         [_hyperplanes(dim, n_planes, 7 + t) for t in range(n_tables)]
     )

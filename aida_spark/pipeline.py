@@ -56,6 +56,13 @@ __all__ = ["PipelineConfig", "AidaPipeline", "run_pipeline"]
 class PipelineConfig:
     disambiguation: DisambiguationConfig = field(default_factory=DisambiguationConfig)
     collection_size: int = 2_651_987
+    # K1 keyphrase pruning — the reference's "Fast settings" defaults
+    # (README.md:147,361-362: weight floor 0.002, top-1000 per entity,
+    # ~5x speedup). Without a cap, hot entities (1000s of keyphrases) x hot
+    # mentions explode the stage-C payload shuffle at scale. Set both to
+    # 0/None for the exhaustive ("Full settings") payload.
+    min_keyphrase_weight: float = 0.002
+    max_keyphrases_per_entity: int | None = 1000
     # P9 chunking: split conversations longer than this many turns; 0 = off
     max_turns_per_chunk: int = 0
     # force a shuffle join for the dictionary (for very large dictionaries);
@@ -234,7 +241,10 @@ class AidaPipeline:
         self.cfg = config or PipelineConfig()
         self.kb = load_kb_tables(spark, kb_tables)
         self._bundles = build_entity_bundles(
-            self.kb, self.cfg.collection_size
+            self.kb,
+            self.cfg.collection_size,
+            min_keyphrase_weight=self.cfg.min_keyphrase_weight,
+            max_keyphrases_per_entity=self.cfg.max_keyphrases_per_entity,
         ).persist()
         # word-level broadcasts (analogue of DataAccessCache preloads)
         word_ids = {
@@ -302,14 +312,21 @@ class AidaPipeline:
             candidates = mention_keys.join(dict_with_rank, "mention_key", "left")
         elif cfg.mention_key_salt > 1:
             # Explicit hot-key salting for the shuffle join: the probe side
-            # spreads each key over N salt buckets (derived from conv_id,
-            # so a hot key like "PAGE" fans out), the dictionary side is
-            # replicated N times. Complements AQE skew-join splitting when
-            # a single key exceeds what AQE will split.
+            # spreads each (conv, key) row over N salt buckets, the
+            # dictionary side is replicated N times. This fans out a hot
+            # mention_key (e.g. "PAGE" spotted in millions of
+            # conversations) across N reducers. It does NOT help a single
+            # conversation with a huge payload — that residual skew is
+            # handled downstream by the solve-bucket hashing — and
+            # complements AQE skew-join splitting when one key exceeds what
+            # AQE will split.
             n_salt = cfg.mention_key_salt
             salted_keys = mention_keys.withColumn(
                 "_salt",
-                F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_salt)).cast("int"),
+                F.pmod(
+                    F.xxhash64(F.col("conv_id"), F.col("mention_key")),
+                    F.lit(n_salt),
+                ).cast("int"),
             )
             salted_dict = dict_with_rank.withColumn(
                 "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
@@ -348,6 +365,12 @@ class AidaPipeline:
                     dict_with_rank.withColumnRenamed("mention_key", "name"),
                     "name",
                 )
+                # multiple fuzzy-matched names can share an entity: take the
+                # max prior over matched names (core fill_candidates
+                # semantics, disambiguate.py:126) — first-wins would be
+                # shuffle-order dependent
+                .groupBy("conv_id", "mention_key", "entity")
+                .agg(F.max("prior").alias("prior"), F.max("rank").alias("rank"))
                 .select("conv_id", "mention_key", "entity", "prior", "rank")
             )
             candidates = candidates.filter(
