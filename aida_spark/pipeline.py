@@ -83,6 +83,11 @@ class PipelineConfig:
     # Arrow/pandas overhead over ~corpus/solve_buckets conversations.
     # Size it >= ~4x total executor cores at the target scale.
     solve_buckets: int = 512
+    # where KB artifacts (mention keys, word ids, ...) are published for
+    # executor-side loading; None = a driver-local temp dir (works in
+    # local mode and with a shared driver fs). On a real cluster point
+    # this at shared storage (hdfs://, s3a://).
+    kb_artifact_dir: str | None = None
 
 
 MENTION_KEY_SCHEMA = StructType(
@@ -246,32 +251,46 @@ class AidaPipeline:
             min_keyphrase_weight=self.cfg.min_keyphrase_weight,
             max_keyphrases_per_entity=self.cfg.max_keyphrases_per_entity,
         ).persist()
-        # word-level broadcasts (analogue of DataAccessCache preloads)
-        word_ids = {
-            r["word"]: int(r["id"]) for r in self.kb["word_ids"].collect()
-        }
-        expansions = {
-            int(r["word"]): int(r["expansion"])
-            for r in self.kb["word_expansion"].collect()
-        }
-        stop_words = [r["word"] for r in self.kb["stopwords"].collect()]
-        stopword_ids = {word_ids.get(w, 0) for w in stop_words}
-        mention_keys = {
-            r["mention"] for r in self.kb["known_names"].collect()
-        } | {r["mention"] for r in self.kb["dictionary"].select("mention").distinct().collect()}
-        sc = spark.sparkContext
-        self._b_word2id = sc.broadcast(word_ids)
-        self._b_expansions = sc.broadcast(expansions)
-        self._b_stopword_ids = sc.broadcast(stopword_ids)
-        self._b_mention_keys = sc.broadcast(mention_keys)
+        # Word-level lookup structures (the analogue of the reference's
+        # DataAccessCache preloads) as EXECUTOR-SIDE artifacts: written by
+        # Spark, distributed via addFile, lazy-loaded per worker. The
+        # driver never collects a KB table — at YAGO scale (~3M entities,
+        # >10M surface forms) a collect+broadcast would push multi-GB of
+        # Python objects through the driver heap.
+        from .kb_artifacts import publish_table
+
+        art_dir = self.cfg.kb_artifact_dir
+        mention_keys_df = (
+            self.kb["known_names"]
+            .select("mention")
+            .unionByName(self.kb["dictionary"].select("mention"))
+            .distinct()
+        )
+        self._a_mention_keys = publish_table(spark, mention_keys_df, art_dir)
+        self._a_word_ids = publish_table(
+            spark, self.kb["word_ids"].select("word", "id"), art_dir
+        )
+        self._a_expansions = publish_table(
+            spark, self.kb["word_expansion"].select("word", "expansion"), art_dir
+        )
+        # unknown stopwords map to word id 0 (the shared unknown-word id)
+        stop_ids_df = (
+            self.kb["stopwords"]
+            .join(self.kb["word_ids"], "word", "left")
+            .select(F.coalesce(F.col("id"), F.lit(0)).alias("id"))
+            .distinct()
+        )
+        self._a_stopword_ids = publish_table(spark, stop_ids_df, art_dir)
 
     # ---- stage A: mention spotting (narrow) --------------------------
     def spot_mention_keys(self, transcripts: DataFrame) -> DataFrame:
-        b_keys = self._b_mention_keys
+        a_keys = self._a_mention_keys
         unknown_caps = self.cfg.fuzzy_min_sim > 0.0
 
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            keys = b_keys.value
+            from .kb_artifacts import load_key_set
+
+            keys = load_key_set(a_keys, "mention")
             for pdf in batches:
                 seen: set[tuple[str, str]] = set()
                 for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
@@ -410,9 +429,9 @@ class AidaPipeline:
     # ---- stage D: per-conversation solve ------------------------------
     def solve(self, transcripts: DataFrame, payload: DataFrame) -> DataFrame:
         cfg = self.cfg
-        b_word2id = self._b_word2id
-        b_expansions = self._b_expansions
-        b_stopword_ids = self._b_stopword_ids
+        a_word_ids = self._a_word_ids
+        a_expansions = self._a_expansions
+        a_stopword_ids = self._a_stopword_ids
         dis_cfg = cfg.disambiguation
         collection_size = cfg.collection_size
         max_turns = cfg.max_turns_per_chunk
@@ -450,12 +469,18 @@ class AidaPipeline:
         def solve_conv(
             conv_id, turns: pd.DataFrame, pay: pd.DataFrame, rows: list
         ) -> None:
-            word2id = b_word2id.value
+            from .kb_artifacts import (
+                load_int_int_dict,
+                load_int_set,
+                load_str_int_dict,
+            )
+
+            word2id = load_str_int_dict(a_word_ids, "word", "id")
             kb = _payload_to_kb(
                 pay,
                 word2id,
-                b_expansions.value,
-                b_stopword_ids.value,
+                load_int_int_dict(a_expansions, "word", "expansion"),
+                load_int_set(a_stopword_ids, "id"),
                 collection_size,
             )
             mention_keys = set(kb.dictionary.keys())
@@ -527,7 +552,7 @@ class AidaPipeline:
         prior per mention via a row_number window. This is the plan the
         optimizer fully owns (pushdown, broadcast, WindowGroupLimit) and
         the throughput ceiling for the pipeline skeleton."""
-        b_keys = self._b_mention_keys
+        a_keys = self._a_mention_keys
         unknown_caps = self.cfg.fuzzy_min_sim > 0.0
 
         spot_schema = StructType(
@@ -542,7 +567,9 @@ class AidaPipeline:
         )
 
         def spot_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            keys = b_keys.value
+            from .kb_artifacts import load_key_set
+
+            keys = load_key_set(a_keys, "mention")
             for pdf in batches:
                 rows = []
                 for conv_id, turn_idx, text in zip(

@@ -375,3 +375,47 @@ def test_all_features_enabled_together(spark, tmp_path):
         (r["subj"], r["obj"]) for r in p.run(df, checkpoint=ck).collect()
     }
     assert first == second
+
+
+def test_init_is_driver_memory_free_with_large_dictionary(spark):
+    """The KB word/mention lookup structures must never be collected
+    through the driver at init (VERDICT r1 #4): with a 1M-name synthetic
+    dictionary, AidaPipeline.__init__ must complete with DataFrame.collect
+    forbidden, and the golden conversation must still solve correctly
+    (the big dictionary only adds never-spotted surface forms)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    tables = kb_tables()
+    big_names = spark.range(1_000_000).select(
+        F.concat(F.lit("ZZSYNTH"), F.col("id").cast("string")).alias("mention"),
+        F.concat(F.lit("Zz_Entity_"), F.col("id").cast("string")).alias("entity"),
+        F.lit(0.5).alias("prior"),
+    )
+    from aida_spark.kb_spark import load_kb_tables
+
+    kb = load_kb_tables(spark, tables)
+    kb["dictionary"] = kb["dictionary"].unionByName(big_names)
+    kb["known_names"] = kb["known_names"].unionByName(
+        big_names.select("mention")
+    )
+
+    real_collect = DataFrame.collect
+
+    def forbidden(self, *a, **k):
+        raise AssertionError("driver-side collect during pipeline init")
+
+    DataFrame.collect = forbidden
+    try:
+        pipe = AidaPipeline(spark, kb, PipelineConfig())
+    finally:
+        DataFrame.collect = real_collect
+
+    got = {
+        (r["subj"], r["obj"])
+        for r in pipe.run(spark.createDataFrame(golden_transcript())).collect()
+    }
+    assert got == {
+        ("t1/0/5", "Jimmy_Page"),
+        ("t1/0/17", "Kashmir_(song)"),
+        ("t1/0/28", "Knebworth_Festival"),
+    }
