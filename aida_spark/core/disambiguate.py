@@ -49,6 +49,17 @@ class DisambiguationConfig:
     entities_per_mention: int = 5
     use_coherence_robustness: bool = True
     coh_robustness_threshold: float = 0.9
+    # G1 early-fix heuristics (GraphGenerator.java:287-322), default OFF
+    # like the reference (GraphSettings.java:61,73); the reference's
+    # CocktailPartyWithHeuristics...Settings preset uses thresholds 0.9 / 5.
+    # confidence: fix a mention when its best normalized local sim exceeds
+    # the threshold (doConfidenceThresholdCheck)
+    use_confidence_threshold_fix: bool = False
+    confidence_fix_threshold: float = 0.9
+    # easy mentions: fix mentions with fewer than this many candidates to
+    # the best local candidate (doEasyMentionsCheck, strict <)
+    use_easy_mentions_fix: bool = False
+    easy_mentions_max_candidates: int = 5
     use_exhaustive_search: bool = True
     use_normalized_objective: bool = True
     max_entity_rank: float = 1.0
@@ -65,6 +76,10 @@ class DisambiguationConfig:
     type_filter: tuple = ()
     fuzzy_min_sim: float = 0.0  # C5 trigram fallback; 0 disables
     weights: EnsembleWeights = field(default_factory=EnsembleWeights)
+    # M4 local-similarity family: "switched_kp" = keyphrase MI/IDF ensemble
+    # (SwitchedKP.properties, the default); "switched_unit" = unigram/bigram
+    # language-model ensemble (SwitchedUnit.properties, me_measures.py)
+    local_similarity: str = "switched_kp"
     # scale guard: conversations with more candidates than this abort the
     # coherence graph and fall back to LOCAL (GraphGenerator.java:100-103)
     max_candidates_for_graph: int = 20000
@@ -165,7 +180,12 @@ def disambiguate_document(
     if cfg.technique == "prior":
         return _prior_only(doc)
 
-    scorer = EnsembleScorer(doc.mentions, kb, doc.token_ids, cfg.weights)
+    if cfg.local_similarity == "switched_unit":
+        from .me_measures import UnitLMScorer, UnitLMWeights
+
+        scorer = UnitLMScorer(doc.mentions, kb, doc.token_ids, UnitLMWeights())
+    else:
+        scorer = EnsembleScorer(doc.mentions, kb, doc.token_ids, cfg.weights)
     all_sims: dict[tuple[int, str], float] = {}
     for mi, m in enumerate(doc.mentions):
         for cand, _p in m.candidates:
@@ -179,12 +199,50 @@ def disambiguate_document(
     if technique == "local":
         results = _local_only(doc, all_sims, cfg)
     else:
-        # pre-graph coherence-robustness heuristic: fix mentions whose prior
-        # and local-sim distributions agree (L1 < threshold) to the best
-        # local candidate before the graph algorithm
+        # G1 pre-graph early-fix heuristics, applied per mention with >1
+        # candidate in the reference's order (GraphGenerator.java:175-210):
+        # confidence threshold -> easy mentions -> coherence robustness.
         ensemble_sims = dict(all_sims)
+
+        def _fix_to_best(mi: int, m) -> None:
+            best = max(
+                m.candidates, key=lambda cp: (all_sims[(mi, cp[0])], cp[0])
+            )[0]
+            m.candidates = [(c, p) for (c, p) in m.candidates if c == best]
+            for k in [
+                k for k in ensemble_sims if k[0] == mi and k[1] != best
+            ]:
+                del ensemble_sims[k]
+
+        if cfg.use_confidence_threshold_fix or cfg.use_easy_mentions_fix:
+            for mi, m in enumerate(doc.mentions):
+                if len(m.candidates) <= 1:
+                    continue
+                if cfg.use_confidence_threshold_fix:
+                    normalized = normalize_to_sum(
+                        {c: all_sims[(mi, c)] for c, _p in m.candidates}
+                    )
+                    if (
+                        max(normalized.values(), default=0.0)
+                        > cfg.confidence_fix_threshold
+                    ):
+                        _fix_to_best(mi, m)
+                        continue
+                if (
+                    cfg.use_easy_mentions_fix
+                    and len(m.candidates) < cfg.easy_mentions_max_candidates
+                ):
+                    _fix_to_best(mi, m)
+
+        # coherence-robustness heuristic: fix mentions whose prior and
+        # local-sim distributions agree (L1 < threshold) to the best local
+        # candidate before the graph algorithm
         if cfg.use_coherence_robustness:
-            l1s = _coherence_robustness_l1(doc, kb, raw_from=scorer)
+            l1s = _coherence_robustness_l1(
+                doc,
+                kb,
+                raw_from=scorer if isinstance(scorer, EnsembleScorer) else None,
+            )
             for mi, m in enumerate(doc.mentions):
                 if len(m.candidates) > 1 and l1s.get(mi, 2.0) < cfg.coh_robustness_threshold:
                     best = max(

@@ -60,6 +60,13 @@ class KBData:
     kw_idf_weights: dict[int, float] = field(default_factory=dict)
     # C8 type filter support: entity -> type names
     entity_types: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    # M4 unit-LM support (UnitType.java KEYWORD/BIGRAM; the reference's
+    # ENTITY_BIGRAMS / BIGRAM_COUNTS tables): derived lazily from the
+    # keyphrase tables by me_measures.derive_unit_counts when empty.
+    entity_bigram_count: dict[tuple[str, tuple[int, int]], int] = field(
+        default_factory=dict
+    )
+    bigram_counts: dict[tuple[int, int], int] = field(default_factory=dict)
 
     # ---- id helpers -------------------------------------------------
     def word_id(self, word: str) -> int:

@@ -132,6 +132,7 @@ def build_entity_bundles(
     kpt = kb["keyphrase_tokens"]  # keyphrase, token, position
     kwc = kb["keyword_counts"].withColumnRenamed("count", "kw_df")
     ec = kb["entity_counts"].withColumnRenamed("count", "e_count")
+    kpdf = kb["keyphrase_counts"].withColumnRenamed("count", "kp_df")
     wexp = kb["word_expansion"]  # word(id), expansion(id)
 
     # (entity, keyphrase, token): keyword-level rows
@@ -140,6 +141,7 @@ def build_entity_bundles(
         .join(F.broadcast(kwc), F.col("token") == F.col("keyword"), "left")
         .drop("keyword")
         .join(F.broadcast(ec), "entity")
+        .join(F.broadcast(kpdf), "keyphrase", "left")
         .join(
             F.broadcast(wexp), F.col("token") == F.col("word"), "left"
         )
@@ -199,6 +201,13 @@ def build_entity_bundles(
             F.coalesce(F.col("expansion"), F.lit(0)).alias("expanded"),
             "mi",
             "idf",
+            # raw unit counts ride along so the solver can run count-based
+            # measures (M4 unit LMs) without a second KB pass: entity-kp
+            # co-count, kp doc-frequency, keyword doc-frequency, superdoc size
+            F.col("count").cast("long").alias("kp_count"),
+            F.coalesce(F.col("kp_df"), F.lit(0)).cast("long").alias("kp_df"),
+            F.coalesce(F.col("kw_df"), F.lit(0)).cast("long").alias("kw_df"),
+            F.col("e_count").cast("long").alias("e_count"),
             F.coalesce(F.col("inlinks_csv"), F.lit("")).alias("inlinks_csv"),
             F.coalesce(F.col("types_csv"), F.lit("")).alias("types_csv"),
         )
@@ -214,6 +223,10 @@ def build_entity_bundles(
             F.lit(0).cast("long").alias("expanded"),
             F.lit(None).cast("double").alias("mi"),
             F.lit(None).cast("double").alias("idf"),
+            F.lit(None).cast("long").alias("kp_count"),
+            F.lit(None).cast("long").alias("kp_df"),
+            F.lit(None).cast("long").alias("kw_df"),
+            F.lit(None).cast("long").alias("e_count"),
             F.col("inlinks_csv"),
             F.col("types_csv"),
         )

@@ -53,18 +53,24 @@ def exact_dedup(
     )
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Deterministic char-k-gram hashes (crc32 — stable across platforms,
-    unlike Python's hash())."""
+    """Deterministic k-byte-gram hashes of the normalized text, fully
+    vectorized: a sliding window over the utf-8 bytes dotted with powers of
+    a 64-bit base (uint64 wraparound arithmetic — modular, deterministic
+    across platforms, no per-shingle Python call). These only PROPOSE
+    near-dup candidates; exact shingle Jaccard decides."""
     s = " ".join((text or "").lower().split())
     if len(s) < k:
         s = s.ljust(k, "\0")
-    n = len(s) - k + 1
-    return np.fromiter(
-        (zlib.crc32(s[i : i + k].encode("utf-8")) for i in range(n)),
-        dtype=np.uint64,
-        count=n,
-    )
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:  # defensive: multibyte edge
+        data = np.pad(data, (0, k - len(data)))
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = _SHINGLE_BASE ** np.arange(k, dtype=np.uint64)
+    return (win * powers).sum(axis=1)
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -89,15 +95,16 @@ def minhash_signatures(
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
-        a = a_params.astype(np.float64)  # avoid uint64 overflow via float mod trick
         a_u = a_params
         b_u = b_params
         for t in texts:
             sh = _shingle_hashes(t, shingle_k)
-            # (a * x + b) mod p, vectorized over perms x shingles
-            # use python-int safe computation through object? keep numpy:
-            # (a*x) mod p with uint64 wrap is fine for MinHash determinism
-            prod = np.multiply.outer(a_u, sh)  # uint64 wraparound, deterministic
+            # per-perm mixing (a*x + b) mod M with uint64 wraparound before
+            # the Mersenne mod: NOT textbook universal hashing, but a
+            # deterministic 64-bit mix is all MinHash banding needs here —
+            # reported pairs are decided by exact Jaccard, not the estimate
+            # (test_minhash_estimate_tracks_exact pins the estimate error)
+            prod = np.multiply.outer(a_u, sh)  # uint64 wraparound
             vals = (prod + b_u[:, None]) % np.uint64(_MERSENNE)
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)

@@ -164,6 +164,10 @@ def _payload_to_kb(
     exp = ChainMap(local_exp, expansions)
     inlinks: dict[str, tuple[int, ...]] = {}
     entity_types: dict[str, tuple[str, ...]] = {}
+    kw_counts: dict[int, int] = {}
+    kp_counts: dict[int, int] = {}
+    entity_counts: dict[str, int] = {}
+    entity_kp_count: dict[tuple[str, int], int] = {}
     cols = (
         payload["mention_key"].to_numpy(),
         payload["entity"].to_numpy(),
@@ -175,11 +179,16 @@ def _payload_to_kb(
         payload["expanded"].to_numpy(),
         payload["mi"].to_numpy(),
         payload["idf"].to_numpy(),
+        payload["kp_count"].to_numpy(),
+        payload["kp_df"].to_numpy(),
+        payload["kw_df"].to_numpy(),
+        payload["e_count"].to_numpy(),
         payload["inlinks_csv"].to_numpy(),
         payload["types_csv"].to_numpy(),
     )
     for (key, entity, prior, rank, kp_v, position, token, expanded,
-         mi_v, idf_v, inlinks_csv, types_csv) in zip(*cols):
+         mi_v, idf_v, kp_count, kp_df, kw_df, e_count,
+         inlinks_csv, types_csv) in zip(*cols):
         dictionary.setdefault(key, [])
         if entity is None or isinstance(entity, float):
             continue
@@ -199,6 +208,15 @@ def _payload_to_kb(
             kw_idf[int(token)] = float(idf_v)
             if expanded:
                 local_exp[int(token)] = int(expanded)
+            # raw unit counts for count-based measures (M4 unit LMs)
+            if kp_count is not None and not pd.isna(kp_count):
+                entity_kp_count[(entity, kp)] = int(kp_count)
+            if kp_df is not None and not pd.isna(kp_df):
+                kp_counts[kp] = int(kp_df)
+            if kw_df is not None and not pd.isna(kw_df):
+                kw_counts[int(token)] = int(kw_df)
+            if e_count is not None and not pd.isna(e_count):
+                entity_counts[entity] = int(e_count)
     # flat rows repeat the per-entity payload once per mention key the
     # entity is candidate for; all inserts above are idempotent. Keyphrase
     # order = ascending kp id (== the reference fixture's insertion order,
@@ -213,6 +231,14 @@ def _payload_to_kb(
     # canonical candidate order (must match KBData.candidates sorting)
     for key in dictionary:
         dictionary[key].sort(key=lambda ep: ep[0])
+    # entity-keyword co-occurrence: sum of co-counts over the entity's
+    # keyphrases containing the token (DataAccessForTesting:486-509) —
+    # derivable here since the payload carries per-kp co-counts
+    entity_kw_count: dict[tuple[str, int], int] = {}
+    for (entity, kp), c in entity_kp_count.items():
+        for tok in kp_tokens.get(kp, ()):
+            k2 = (entity, tok)
+            entity_kw_count[k2] = entity_kw_count.get(k2, 0) + c
     return KBData(
         collection_size=collection_size,
         word2id=word2id,
@@ -223,11 +249,11 @@ def _payload_to_kb(
         entity_rank=entity_rank,
         entity_kps=entity_kps_sorted,
         kp_tokens=kp_tokens,
-        kw_counts={},
-        kp_counts={},
-        entity_counts={},
-        entity_kp_count={},
-        entity_kw_count={},
+        kw_counts=kw_counts,
+        kp_counts=kp_counts,
+        entity_counts=entity_counts,
+        entity_kp_count=entity_kp_count,
+        entity_kw_count=entity_kw_count,
         inlinks=inlinks,
         kw_mi_weights=kw_mi,
         kw_idf_weights=kw_idf,
@@ -421,6 +447,10 @@ class AidaPipeline:
             "expanded",
             "mi",
             "idf",
+            "kp_count",
+            "kp_df",
+            "kw_df",
+            "e_count",
             "inlinks_csv",
             "types_csv",
         )

@@ -346,3 +346,129 @@ class TestKeywordCosineOrdering:
         assert ad < ab
         assert bd > cd
         assert cd == pytest.approx(0.0, abs=1e-3)
+
+
+class TestG1Heuristics:
+    """G1 early-fix flags (GraphGenerator.java:287-322), default OFF."""
+
+    def test_flags_default_off(self):
+        cfg = DisambiguationConfig()
+        assert cfg.use_confidence_threshold_fix is False
+        assert cfg.use_easy_mentions_fix is False
+
+    def test_easy_mentions_fix_reduces_to_local(self):
+        """With a threshold covering every mention and cohrob off, each
+        mention is pre-fixed to its best local candidate — the graph then
+        solves singletons, so entities equal the LOCAL technique."""
+        kb = build_kb()
+        d1 = prepare("t", GOLDEN_SENTENCE, kb)
+        fixed = disambiguate_document(
+            d1,
+            kb,
+            DisambiguationConfig(
+                use_easy_mentions_fix=True,
+                easy_mentions_max_candidates=100,
+                use_coherence_robustness=False,
+            ),
+        )
+        d2 = prepare("t", GOLDEN_SENTENCE, kb)
+        local = disambiguate_document(
+            d2, kb, DisambiguationConfig(technique="local")
+        )
+        assert [r.entity for r in fixed] == [r.entity for r in local]
+
+    def test_confidence_fix_impossible_threshold_is_noop(self):
+        """Normalized sims cannot exceed 1.0, so threshold 1.1 must leave
+        the default GRAPH result untouched."""
+        kb = build_kb()
+        d1 = prepare("t", GOLDEN_SENTENCE, kb)
+        base = disambiguate_document(d1, kb, DisambiguationConfig())
+        d2 = prepare("t", GOLDEN_SENTENCE, kb)
+        noop = disambiguate_document(
+            d2,
+            kb,
+            DisambiguationConfig(
+                use_confidence_threshold_fix=True,
+                confidence_fix_threshold=1.1,
+            ),
+        )
+        assert [(r.entity, round(r.score, 9)) for r in base] == [
+            (r.entity, round(r.score, 9)) for r in noop
+        ]
+
+    def test_confidence_fix_fires_on_dominant_local_sim(self):
+        """Threshold 0.5: any mention whose best candidate holds >50% of
+        the normalized local-sim mass is fixed pre-graph; combined with the
+        easy-mentions fix the result again reduces to LOCAL."""
+        kb = build_kb()
+        d1 = prepare("t", GOLDEN_SENTENCE, kb)
+        fixed = disambiguate_document(
+            d1,
+            kb,
+            DisambiguationConfig(
+                use_confidence_threshold_fix=True,
+                confidence_fix_threshold=0.5,
+                use_easy_mentions_fix=True,
+                easy_mentions_max_candidates=100,
+                use_coherence_robustness=False,
+            ),
+        )
+        d2 = prepare("t", GOLDEN_SENTENCE, kb)
+        local = disambiguate_document(
+            d2, kb, DisambiguationConfig(technique="local")
+        )
+        assert [r.entity for r in fixed] == [r.entity for r in local]
+
+
+class TestM4UnitLM:
+    """Unit language models (SwitchedUnit.properties). The reference
+    snapshot ships the unit tables/config but not the measure classes, so
+    these goldens are self-pinned from the documented Dirichlet formula
+    (me_measures.py) — they gate determinism, not JUnit parity."""
+
+    def test_unigram_lm_pinned_and_contextual(self, kb):
+        from aida_spark.core.me_measures import unigram_lm_similarity
+
+        text = (
+            "When Page played Kashmir at Knebworth , his Les Paul was "
+            "uniquely tuned ."
+        )
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        s_song = unigram_lm_similarity("Kashmir_(song)", ids, kb)
+        s_region = unigram_lm_similarity("Kashmir", ids, kb)
+        # the song's keywords occur in context -> higher log-likelihood
+        assert s_song > s_region
+        assert s_song == pytest.approx(-14.0439080571, abs=1e-8)
+        assert s_region == pytest.approx(-14.1334564268, abs=1e-8)
+
+    def test_bigram_lm_pinned(self):
+        from aida_spark.core.me_measures import bigram_lm_similarity
+
+        kb = build_kb()
+        text = (
+            "When Page played Kashmir at Knebworth , his Les Paul was "
+            "uniquely tuned ."
+        )
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        assert bigram_lm_similarity("Jimmy_Page", ids, kb) == pytest.approx(
+            -17.5417191807, abs=1e-8
+        )
+        assert bigram_lm_similarity("Kashmir_(song)", ids, kb) == pytest.approx(
+            -17.3988838128, abs=1e-8
+        )
+
+    def test_switched_unit_technique_golden(self):
+        """End-to-end GRAPH solve with the SwitchedUnit local similarity:
+        prior-dominant weights (0.93) pick Larry_Page for 'Page'; the
+        coherence stage still links Kashmir to the song."""
+        kb = build_kb()
+        doc = prepare("t1/0", GOLDEN_SENTENCE, kb)
+        res = disambiguate_document(
+            doc, kb, DisambiguationConfig(local_similarity="switched_unit")
+        )
+        assert [(r.mention.surface, r.entity) for r in res] == [
+            ("Page", "Larry_Page"),
+            ("Kashmir", "Kashmir_(song)"),
+            ("Knebworth", "Knebworth_Festival"),
+            ("Les Paul", OOKBE),
+        ]

@@ -419,3 +419,26 @@ def test_init_is_driver_memory_free_with_large_dictionary(spark):
         ("t1/0/17", "Kashmir_(song)"),
         ("t1/0/28", "Knebworth_Festival"),
     }
+
+
+def test_switched_unit_similarity_through_pipeline(spark):
+    """M4 unit-LM family end-to-end in the distributed path: the payload
+    now ships raw unit counts (kp_count/kp_df/kw_df/e_count), so the
+    solver can run the SwitchedUnit ensemble inside applyInPandas. The
+    prior-dominant SwitchedUnit weights pick Larry_Page for 'Page'
+    (matching the core-path golden in TestM4UnitLM)."""
+    from aida_spark.core.disambiguate import DisambiguationConfig
+
+    cfg = PipelineConfig(
+        disambiguation=DisambiguationConfig(local_similarity="switched_unit")
+    )
+    pipe = AidaPipeline(spark, kb_tables(), cfg)
+    got = {
+        (r["subj"], r["obj"])
+        for r in pipe.run(spark.createDataFrame(golden_transcript())).collect()
+    }
+    assert got == {
+        ("t1/0/5", "Larry_Page"),
+        ("t1/0/17", "Kashmir_(song)"),
+        ("t1/0/28", "Knebworth_Festival"),
+    }
