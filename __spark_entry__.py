@@ -239,6 +239,22 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN machinery gate: with n_probe == n_centroids every cell is
+    probed, so the centroid-assignment + inverted-list join + exact rerank
+    must reproduce the exact cosine top-k (the oracle). The recall/probe
+    tradeoff at partial probing is pinned separately in pytest
+    (test_ivf_partial_probe_recall) — this driver entry proves the
+    distributed plumbing is lossless."""
+    from aida_spark.operators.knn import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=16, dim=64
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified with EXACT shingle Jaccard — the
     oracle recomputes the exact pair set in SQL, so the driver checks both
@@ -254,6 +270,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash(docs)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded hamming-join near-dup pairs. The oracle is a pinned
+    VALUES table (the operator is fully deterministic: seeded token hash,
+    pigeonhole banding, exact popcount verify) — a determinism/regression
+    gate in the spirit of the aida_* golden oracles, since the crc32-based
+    hash itself is not ANSI-SQL-expressible."""
+    from aida_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,8 +422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_counts": _shipped(_q_user_event_counts),
         "knn_bruteforce": _shipped(_q_knn_bruteforce),
         "knn_lsh": _shipped(_q_knn_lsh),
+        "knn_ivf": _shipped(_q_knn_ivf),
         "minhash_lsh_pairs": _shipped(_q_minhash_pairs),
         "simhash": _shipped(_q_simhash),
+        "simhash_pairs": _shipped(_q_simhash_pairs),
         "lang_id_counts": _shipped(_q_lang_id),
         "event_sessions": _shipped(_q_event_sessions),
         "curate_corpus": _shipped(_q_curate_corpus),
@@ -556,6 +588,20 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
             ) WHERE rank <= 5
         """,
+        # knn_ivf probes all cells -> must equal exact top-k (see query doc)
+        "knn_ivf": """
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               b.embedding::DOUBLE[], q.embedding::DOUBLE[]
+                           ) DESC, b.vec_id ASC
+                       ) AS rank
+                FROM embeddings b, embeddings q
+                WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        """,
         # minhash_lsh_pairs reports only exact-shingle-Jaccard-verified
         # pairs over exact-dup representatives; the oracle recomputes the
         # full exact pair set, checking banding precision AND recall.
@@ -581,6 +627,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
             WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9
+        """,
+        "simhash_pairs": """
+            SELECT * FROM (VALUES
+                (8, 245, 2),
+                (12, 350, 3),
+                (18, 341, 3),
+                (31, 383, 2),
+                (44, 446, 2),
+                (45, 267, 3),
+                (45, 413, 2),
+                (49, 267, 3),
+                (49, 413, 2),
+                (58, 293, 3),
+                (61, 185, 2),
+                (70, 447, 3),
+                (70, 493, 2),
+                (72, 377, 2),
+                (73, 266, 3),
+                (92, 450, 2),
+                (98, 290, 3),
+                (107, 387, 1),
+                (120, 332, 3),
+                (128, 197, 3),
+                (166, 323, 1),
+                (217, 463, 2),
+                (228, 363, 3),
+                (267, 413, 1),
+                (285, 301, 1),
+                (310, 389, 1),
+                (317, 403, 3),
+                (318, 386, 3),
+                (393, 420, 2),
+                (434, 466, 3),
+                (435, 486, 2),
+                (447, 493, 3),
+                (458, 462, 1)
+            ) AS t(id_a, id_b, hamming)
         """,
         "lang_id_counts": """
             WITH h AS (

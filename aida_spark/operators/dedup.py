@@ -31,6 +31,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",
+    "simhash_pairs",
     "embedding_near_dups",
 ]
 
@@ -137,14 +138,20 @@ def minhash_lsh_pairs(
     whitespace-normalized lowercased texts, so estimate bias near the
     threshold (64-perm sd ~0.06) cannot misclassify a pair.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_perm // bands
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = df.select(F.col(id_col).alias("id"), norm.alias("norm"))
-    # exact-dedup pre-pass: one representative per distinct normalized text
+    # exact-dedup pre-pass: one representative per distinct normalized text.
+    # Persisted: the plan reads reps 4x (both banding sides + both
+    # text-fetch joins) — without a persist each read is a full input
+    # re-scan + re-aggregation (verified via .explain: 4 parquet scans).
     reps = (
         base.groupBy(F.md5(F.col("norm")).alias("_h"))
         .agg(F.min("id").alias("id"), F.min("norm").alias("norm"))
         .drop("_h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = minhash_signatures(reps, id_col="id", text_col="norm",
                               num_perm=num_perm, shingle_k=shingle_k)
@@ -167,7 +174,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band"), F.col("bb.bucket"))
+    ).select("id", F.col("bb.band"), F.col("bb.bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # self-join: without this the signature UDF runs once PER SIDE
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -224,9 +233,17 @@ def simhash(
             tokens = (t or "").lower().split()
             if not tokens:
                 continue
+            # two independent crc32 halves -> full 64 bits of token-hash
+            # entropy, then a golden-ratio multiply to mix (a single crc32
+            # gives only 2^32 distinct pre-mix values)
             hashes = np.fromiter(
-                (zlib.crc32(tok.encode("utf-8")) * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
-                 for tok in tokens),
+                (
+                    (
+                        (zlib.crc32(b) << 32)
+                        | zlib.crc32(b, 0x9E3779B9)
+                    ) * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
+                    for b in (tok.encode("utf-8") for tok in tokens)
+                ),
                 dtype=np.uint64,
                 count=len(tokens),
             )
@@ -255,6 +272,8 @@ def ngram_jaccard_pairs(
     ngrams -> equi-join on ngram -> count intersections -> |A|+|B|-isec).
     The join is on the n-gram hash — the classic scalable exact-Jaccard
     plan (no cross join)."""
+    from pyspark import StorageLevel
+
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     if max_docs:
         base = base.limit(max_docs)
@@ -269,7 +288,9 @@ def ngram_jaccard_pairs(
                 ),
             )
         ).alias("gram"),
-    ).dropDuplicates(["id", "gram"])
+    ).dropDuplicates(["id", "gram"]).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # read 3x: both join sides + the per-doc size aggregate
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     g1, g2 = grams.alias("a"), grams.alias("b")
     isec = (
@@ -326,11 +347,13 @@ def embedding_near_dups(
             codes[:, t] = bits @ weights + (t << n_planes)
         return pd.Series(list(codes))
 
+    from pyspark import StorageLevel
+
     b = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         F.explode(buckets_udf(F.col(vec_col))).alias("bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
     left, right = b.alias("l"), b.alias("r")
     cand = (
         left.join(
@@ -350,4 +373,82 @@ def embedding_near_dups(
         cand.withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding with exact Hamming verify.
+
+    Pigeonhole banding: the 64-bit simhash is split into ``max_hamming+1``
+    bands, so any pair within ``max_hamming`` bit flips shares at least
+    one band verbatim — candidates come from an equi-join on (band,
+    chunk), verified with an exact popcount of the XOR. Recall is exactly
+    1.0 at the stated radius (a guarantee LSH banding only approximates).
+
+    Same scale shape as ``minhash_lsh_pairs``: an exact-dedup pre-pass
+    collapses identical texts (bounding megacluster blowup), one narrow
+    UDF pass computes the hash, and the join shuffles on hash-derived
+    keys. Returns (id_a, id_b, hamming).
+    """
+    from pyspark import StorageLevel
+
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("id"), norm.alias("norm"))
+    reps = (
+        base.groupBy(F.md5(F.col("norm")).alias("_h"))
+        .agg(F.min("id").alias("id"), F.min("norm").alias("norm"))
+        .drop("_h")
+    )
+    sh = simhash(reps, id_col="id", text_col="norm").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # self-join: avoid recomputing the hash per side
+
+    def chunk(b: int):
+        width = band_bits if b < n_bands - 1 else 64 - band_bits * (n_bands - 1)
+        mask = (1 << width) - 1
+        return (
+            F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+        )
+
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), chunk(b).alias("chunk"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", F.col("bc.band"), F.col("bc.chunk"))
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

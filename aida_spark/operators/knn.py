@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["cosine_sim_col", "brute_force_topk", "lsh_bucketed_topk"]
+__all__ = [
+    "cosine_sim_col",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "ivf_topk",
+]
 
 
 def cosine_sim_col(a, b):
@@ -125,6 +130,100 @@ def lsh_bucketed_topk(
         b.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", cosine_sim_col(F.col("qvec"), F.col("bvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def _train_centroids_sample(
+    sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample
+    (Lloyd iterations on L2-normalized vectors; empty cells re-seeded from
+    the sample). The sample is O(sample_size), never O(corpus) — the same
+    bounded-driver pattern MLlib's k-means uses for its aggregation step."""
+    rng = np.random.RandomState(seed)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    centers = x[rng.choice(len(x), size=n_centroids, replace=len(x) < n_centroids)]
+    for _ in range(iters):
+        assign = (x @ centers.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members) == 0:
+                centers[c] = x[rng.randint(len(x))]
+                continue
+            m = members.mean(axis=0)
+            centers[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centers
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the clustered alternative to sign-LSH:
+
+    1. train ``n_centroids`` spherical k-means centroids on a BOUNDED
+       sample (deterministic, seeded);
+    2. assign every base vector to its nearest centroid (one narrow
+       Arrow-batched pass) -> inverted lists keyed by ``cell``;
+    3. each query probes its ``n_probe`` nearest cells; candidates meet
+       queries in an equi-join on ``cell`` (broadcast query side);
+    4. exact cosine rerank inside the probed cells only.
+
+    Scale shape: the base table is scanned once for assignment and
+    shuffles once on the cell key (cells are ~corpus/n_centroids wide —
+    pick n_centroids ~ sqrt(corpus) so cells stay bounded); queries
+    broadcast. Recall grows with n_probe (fraction of cells scanned).
+    """
+    take = base.select(F.col(vec_col)).limit(sample_size).collect()
+    sample = np.array([r[0] for r in take], dtype=np.float64)
+    if dim is None:
+        dim = sample.shape[1]
+    centers = _train_centroids_sample(sample, n_centroids, seed)
+
+    from pyspark.sql.types import LongType as _Long
+
+    @F.pandas_udf(_Long())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ centers.T).argmax(axis=1).astype(np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centers.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    b = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("bvec"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    cand = b.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.withColumn("sim", cosine_sim_col(F.col("qvec"), F.col("bvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -346,3 +346,51 @@ def test_minhash_estimate_tracks_exact(spark):
         est = float((sigs[i] == sigs[j]).mean())
         exa = exact(docs[i][1], docs[j][1])
         assert abs(est - exa) <= 0.15, (i, j, est, exa)
+
+
+def test_ivf_partial_probe_recall(spark):
+    """IVF recall/probe tradeoff on the (unclustered) driver embeddings:
+    probing half the cells must recover a solid majority of the exact
+    top-5 — the measured floor on this seeded configuration is 0.82 mean
+    recall; gate at 0.7 to absorb numerical wobble. Full probing is
+    separately gated to EQUAL exact top-k by the knn_ivf driver oracle."""
+    from pyspark.sql import functions as F
+    from aida_spark.operators.knn import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=8, dim=64
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_simhash_pairs_pigeonhole_and_prepass(spark):
+    """simhash_pairs: (a) a pair within the hamming radius is always found
+    (pigeonhole banding guarantees recall 1.0 at the radius), (b) identical
+    copies collapse to one representative before banding, (c) unrelated
+    text produces no pair."""
+    from aida_spark.operators.dedup import simhash_pairs
+
+    near_a = "the quick brown fox jumps over the lazy dog " * 6
+    near_b = near_a.replace("lazy", "sleepy")
+    other = "entirely different words about columnar shuffles " * 6
+    rows = [(i, near_a) for i in range(50)]  # 50 identical copies
+    rows += [(100, near_b), (200, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, max_hamming=16).collect()
+    }
+    # only the representative (min id 0) of the copy-cluster may pair
+    assert all(a == 0 or a >= 100 for (a, _b) in got), got
+    assert any(pair == (0, 100) for pair in got), got
+    assert all((200 not in pair) for pair in got), got
