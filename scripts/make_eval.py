@@ -54,6 +54,47 @@ def main(argv=None) -> int:
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in m.items()
         }
+    # --- out-of-dictionary spotting (SURVEY P3 substitution, VERDICT r1
+    # missing #4): the reference uses Stanford NER to catch names absent
+    # from the dictionary; this engine substitutes dictionary max-match
+    # plus an unknown-capitalized-span + trigram-fuzzy fallback. Quantify
+    # the recall delta by misspelling every gold mention (one appended
+    # char) so exact lookup CANNOT hit, then measuring triple recall with
+    # the fallback off vs on.
+    import re
+
+    docs, gold = synth_conll_corpus(args.n_docs, seed=args.seed)
+    transcripts_pdf = to_transcripts(docs)
+    perturb = {
+        m: m + "x" for m in sorted(set(gold["mention"]))
+    }
+    for m, pm in perturb.items():
+        transcripts_pdf["text"] = transcripts_pdf["text"].str.replace(
+            rf"\b{re.escape(m)}\b", pm, regex=True
+        )
+    gold_p = gold.copy()
+    gold_p["mention"] = gold_p["mention"].map(lambda m: perturb.get(m, m))
+    ood = {}
+    for label, fuzzy in (("dictionary_only", 0.0), ("fuzzy_fallback", 0.5)):
+        from aida_spark.core.disambiguate import DisambiguationConfig
+
+        pipe = AidaPipeline(
+            spark,
+            kb_tables(),
+            PipelineConfig(
+                fuzzy_min_sim=fuzzy,
+                disambiguation=DisambiguationConfig(fuzzy_min_sim=fuzzy),
+            ),
+        )
+        tr = spark.createDataFrame(transcripts_pdf)
+        keys = pipe.spot_mention_keys(tr)
+        assignments = pipe.solve(tr, pipe.candidate_payload(keys))
+        m = evaluate_assignments(assignments, gold_p)
+        ood[label] = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in m.items()
+        }
+    results["ood_spotting"] = ood
     spark.stop()
 
     payload = {
@@ -89,6 +130,23 @@ Gate (graph technique): **{"PASS" if payload["gate_pass"] else "FAIL"}**
 Note: `prior` is evaluated against graph-technique gold, so its lower
 numbers quantify how much coherence adds over prior-argmax — context, not
 a gate.
+
+## Out-of-dictionary spotting (P3 NER substitution)
+
+The reference catches out-of-dictionary names with Stanford NER; this
+engine substitutes dictionary max-match + an unknown-capitalized-span
+and trigram-fuzzy fallback (SURVEY P3 sanctions the swap for
+reproducibility). Measured on the same corpus with EVERY gold mention
+misspelled (one appended char, so exact lookup cannot hit):
+
+| spotting | recall | precision |
+|---|---|---|
+| dictionary only | {results["ood_spotting"]["dictionary_only"]["recall"]} | {results["ood_spotting"]["dictionary_only"]["precision"]} |
+| + unknown-caps + trigram fuzzy (sim >= 0.5) | {results["ood_spotting"]["fuzzy_fallback"]["recall"]} | {results["ood_spotting"]["fuzzy_fallback"]["precision"]} |
+
+This is the structural recall delta a real NER would close further; on
+UNperturbed text (the table above) recall is unaffected because every
+surface form is in the dictionary.
 """
     with open(os.path.join(args.out_dir, "EVAL.md"), "w") as fh:
         fh.write(md)
