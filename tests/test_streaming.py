@@ -55,3 +55,82 @@ def test_stream_matches_batch(spark, tmp_path):
     assert ("t1/0/5", "Jimmy_Page") in out2
     # no duplicates of the first wave
     assert len(out2) == len(stream_out) + 3
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a file stream must
+    reproduce the batch lag+running-sum sessionization, including session
+    numbering that CONTINUES across micro-batches (state carried in the
+    streaming checkpoint)."""
+    import pandas as pd
+    from pyspark.sql import Window, functions as F
+    from aida_spark.streaming.sessionize import sessionize_stream
+
+    in_dir = str(tmp_path / "sess_in")
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(in_dir)
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # two waves split by time: the second wave's sessions must continue
+    # the numbering the first wave's state left off at
+    cutoff = events.selectExpr(
+        "percentile_approx(cast(ts as timestamp), 0.5) AS c"
+    ).first()["c"]
+    w1 = events.filter(F.col("ts").cast("timestamp") <= F.lit(cutoff))
+    w2 = events.filter(F.col("ts").cast("timestamp") > F.lit(cutoff))
+    w1.coalesce(1).write.mode("overwrite").parquet(in_dir)
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        # file sinks only take append mode; update-mode stateful output
+        # goes through foreachBatch (each event is emitted exactly once,
+        # in the micro-batch it arrives)
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            sessionize_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_wave()
+    w2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_wave()
+
+    got = {
+        (r["event_id"], r["session_no"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch reference: the event_sessions idiom (lag + running sum)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    expected = {
+        (r["event_id"], r["session_no"])
+        for r in events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_session")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .select("event_id", "session_no")
+        .collect()
+    }
+    assert len(got) == len(expected)
+    assert got == expected
