@@ -43,7 +43,7 @@ def conflate(token: str) -> str:
     return token
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     index: int
     text: str
@@ -51,7 +51,7 @@ class Token:
     end: int    # exclusive
 
 
-@dataclass
+@dataclass(slots=True)
 class SpottedMention:
     surface: str
     start_token: int
@@ -116,12 +116,22 @@ _FUNCTION_WORDS = {
 }
 
 
+def first_words_upper(mention_keys) -> frozenset:
+    """Uppercased first words of the dictionary keys — the prefilter set
+    for :func:`spot_mentions`. Safe because ``conflate`` either leaves a
+    surface unchanged or uppercases it wholesale, so upper(token) ==
+    upper(first word of key) whenever any n-gram starting at the token can
+    match the key."""
+    return frozenset(k.split(" ", 1)[0].upper() for k in mention_keys)
+
+
 def spot_mentions(
     tokens: list[Token],
     manual_spans: list[tuple[int, int]],
     mention_keys: set[str],
     max_len: int = 4,
     include_unknown_caps: bool = False,
+    first_words: frozenset | None = None,
 ) -> list[SpottedMention]:
     """Hybrid mention detection.
 
@@ -161,6 +171,12 @@ def spot_mentions(
     i = 0
     while i < n:
         if i in covered or not tokens[i].text[:1].isupper():
+            i += 1
+            continue
+        if first_words is not None and tokens[i].text.upper() not in first_words:
+            # no dictionary key starts with this word: skip the n-gram
+            # probes entirely (the common case on real text — most
+            # uppercase-initial tokens are not entity-name starts)
             i += 1
             continue
         match_end = -1

@@ -87,6 +87,17 @@ def load_key_set(artifact: str, col: str) -> frozenset:
     return _CACHE[key]
 
 
+def load_first_words(artifact: str, col: str) -> frozenset:
+    """Uppercased first words of the key set (spotting prefilter),
+    derived once per worker from the cached key set."""
+    key = (artifact, "fw", col)
+    if key not in _CACHE:
+        from .core.text import first_words_upper
+
+        _CACHE[key] = first_words_upper(load_key_set(artifact, col))
+    return _CACHE[key]
+
+
 def load_int_set(artifact: str, col: str) -> frozenset:
     key = (artifact, "iset", col)
     if key not in _CACHE:

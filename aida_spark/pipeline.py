@@ -134,6 +134,9 @@ def _build_conversation_doc_arrays(
     ALREADY sorted by turn_idx — the solve stage calls this per
     conversation, and building a pandas frame per conversation costs more
     than the solver itself on short conversations."""
+    from .core.text import first_words_upper
+
+    fw = first_words_upper(mention_keys)
     all_token_texts: list[str] = []
     mentions: list[SpottedMention] = []
     mention_turn: list[int] = []
@@ -142,7 +145,11 @@ def _build_conversation_doc_arrays(
         clean, manual = parse_markup(text or "")
         toks = tokenize(clean)
         turn_mentions = spot_mentions(
-            toks, manual, mention_keys, include_unknown_caps=include_unknown_caps
+            toks,
+            manual,
+            mention_keys,
+            include_unknown_caps=include_unknown_caps,
+            first_words=fw,
         )
         for m in turn_mentions:
             m.start_token += offset
@@ -320,16 +327,21 @@ class AidaPipeline:
         unknown_caps = self.cfg.fuzzy_min_sim > 0.0
 
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from .kb_artifacts import load_key_set
+            from .kb_artifacts import load_first_words, load_key_set
 
             keys = load_key_set(a_keys, "mention")
+            fw = load_first_words(a_keys, "mention")
             for pdf in batches:
                 seen: set[tuple[str, str]] = set()
                 for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
                     clean, manual = parse_markup(text or "")
                     toks = tokenize(clean)
                     for m in spot_mentions(
-                        toks, manual, keys, include_unknown_caps=unknown_caps
+                        toks,
+                        manual,
+                        keys,
+                        include_unknown_caps=unknown_caps,
+                        first_words=fw,
                     ):
                         seen.add((conv_id, conflate(m.surface)))
                 yield pd.DataFrame(
@@ -640,9 +652,10 @@ class AidaPipeline:
         )
 
         def spot_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from .kb_artifacts import load_key_set
+            from .kb_artifacts import load_first_words, load_key_set
 
             keys = load_key_set(a_keys, "mention")
+            fw = load_first_words(a_keys, "mention")
             for pdf in batches:
                 rows = []
                 for conv_id, turn_idx, text in zip(
@@ -651,7 +664,11 @@ class AidaPipeline:
                     clean, manual = parse_markup(text or "")
                     toks = tokenize(clean)
                     for m in spot_mentions(
-                        toks, manual, keys, include_unknown_caps=unknown_caps
+                        toks,
+                        manual,
+                        keys,
+                        include_unknown_caps=unknown_caps,
+                        first_words=fw,
                     ):
                         rows.append(
                             (
