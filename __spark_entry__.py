@@ -297,6 +297,48 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with synthetic PII planted for every 7th
+    doc (the raw corpus has none) — counts and redacted-length per doc,
+    mirrored exactly in the DuckDB oracle."""
+    from aida_spark.operators.textops import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return redact_pii(planted).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source training-mix sampling: 100% of src0, 50%
+    of src1, 10% of everything else — decided by a Knuth multiplicative
+    hash of doc_id, so the oracle reproduces the exact row set."""
+    from aida_spark.operators.textops import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5}, default_fraction=0.1
+    ).select("doc_id", "source")
+
+
 def _q_orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way star join (orders -> customer -> nation -> region) with a
     count aggregate; the dims broadcast, the fact scans once."""
@@ -430,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _shipped(_q_event_sessions),
         "curate_corpus": _shipped(_q_curate_corpus),
         "embedding_near_dups": _shipped(_q_embedding_near_dups),
+        "redact_pii": _shipped(_q_redact_pii),
+        "stratified_sample": _shipped(_q_stratified_sample),
         "orders_per_region": _shipped(_q_orders_per_region),
         "part_type_supplier_counts": _shipped(_q_part_type_supplier_counts),
         "media_decode": _shipped(_q_media_decode),
@@ -536,6 +580,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings b, embeddings q
                 WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id
             ) WHERE rank <= 5
+        """,
+        "redact_pii": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN
+                           text || ' contact user' || doc_id ||
+                           '@example.com at 10.0.' || (doc_id % 256) ||
+                           '.1 or 555-123-4567'
+                       ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ipv4,
+                   len(regexp_extract_all(text,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                   length(regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IPV4>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                       '<PHONE>', 'g')) AS redacted_len
+            FROM planted
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 1000003) * 2654435761) % 10000 <
+                  CASE WHEN source = 'src0' THEN 10000
+                       WHEN source = 'src1' THEN 5000
+                       ELSE 1000 END
         """,
         "orders_per_region": """
             SELECT r_name,

@@ -17,6 +17,8 @@ __all__ = [
     "quality_metrics",
     "language_id",
     "fingerprint",
+    "redact_pii",
+    "stratified_sample",
 ]
 
 # Compact closed-class marker words per language for the n-gram/stopword
@@ -122,3 +124,69 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text (document-level rolling-hash analogue, JVM-side)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.xxhash64(norm))
+
+
+# --- PII redaction -----------------------------------------------------
+
+# deliberately lookaround-free so the same patterns run identically under
+# Java regex (Spark) and RE2 (DuckDB oracle)
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: count and mask emails, IPv4 addresses and
+    phone numbers. Pure column math (regexp_extract_all + regexp_replace),
+    fully codegen'd — the standard pre-training redaction pass at corpus
+    scale. Adds n_<kind> counts and a ``text_redacted`` column with each
+    match replaced by ``<KIND>``."""
+    out = df
+    redacted = F.col(text_col)
+    for kind, pat in _PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return out.withColumn("text_redacted", redacted)
+
+
+# --- deterministic stratified sampling ---------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data mixing step
+    (e.g. keep 10% of crawl, 100% of curated sources). Inclusion is
+    decided by a Knuth multiplicative hash of the row id modulo 10_000,
+    NOT rand(): the sample is reproducible across runs/retries/cluster
+    sizes and needs no shuffle (a narrow filter the optimizer pushes to
+    the scan). Fractions have 1/10000 resolution.
+
+    The id is first reduced mod a large prime so the Knuth multiply stays
+    within int64 for any id (Spark runs ANSI mode: a silent-wraparound
+    multiply would instead raise at ids beyond ~3.5e9)."""
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(1_000_003))
+        * F.lit(2654435761),
+        F.lit(10_000),
+    )
+    frac = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(stratum_col) == stratum
+        thr = F.lit(int(round(f * 10_000)))
+        frac = F.when(cond, thr) if frac is None else frac.when(cond, thr)
+    frac = (
+        frac.otherwise(F.lit(int(round(default_fraction * 10_000))))
+        if frac is not None
+        else F.lit(int(round(default_fraction * 10_000)))
+    )
+    return df.filter(h < frac)

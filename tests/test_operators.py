@@ -394,3 +394,51 @@ def test_simhash_pairs_pigeonhole_and_prepass(spark):
     assert all(a == 0 or a >= 100 for (a, _b) in got), got
     assert any(pair == (0, 100) for pair in got), got
     assert all((200 not in pair) for pair in got), got
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from aida_spark.operators.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.org or 555-867-5309"),
+            (2, "server 192.168.001.17 is fine, server2 10.0.0.1 too"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["text_redacted"]
+    assert "<PHONE>" in rows[1]["text_redacted"]
+    assert "alice" not in rows[1]["text_redacted"]
+    assert rows[2]["n_ipv4"] == 2
+    assert rows[2]["text_redacted"].count("<IPV4>") == 2
+    assert rows[3]["text_redacted"] == "no pii here at all"
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from pyspark.sql import functions as F
+    from aida_spark.operators.textops import stratified_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep_all").otherwise("keep_tenth").alias(
+            "source"
+        ),
+    )
+    out = stratified_sample(
+        df, {"keep_all": 1.0, "keep_tenth": 0.1}, default_fraction=0.0
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["keep_all"] == 10_000  # fraction 1.0 keeps everything
+    assert 800 <= counts["keep_tenth"] <= 1_200  # ~10% of 10k
+    # deterministic: the same call returns the same rows
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_sample(
+        df, {"keep_all": 1.0, "keep_tenth": 0.1}, default_fraction=0.0
+    ).collect()}
+    assert a == b
