@@ -125,14 +125,22 @@ class BucketCheckpoint:
             )
             dirty_buckets = [r[BUCKET_COL] for r in dirty.collect()]
             if not dirty_buckets:
-                current.unpersist()
-                return self.spark.read.parquet(data_path).drop(BUCKET_COL)
+                from pyspark.errors import AnalysisException
+
+                try:
+                    cached = self.spark.read.parquet(data_path)
+                    current.unpersist()
+                    return cached.drop(BUCKET_COL)
+                except AnalysisException:
+                    # previous run produced zero rows everywhere (no part
+                    # files to infer a schema from): recompute fully
+                    dirty_buckets = None
             # Dynamic partition overwrite only rewrites partitions the new
             # output *contains*: a dirty bucket whose recompute yields zero
             # rows, or a bucket whose input vanished entirely, would keep
             # its stale partition on disk and be read back as current.
             # Delete every dirty/removed bucket's partition up front.
-            for b in dirty_buckets:
+            for b in dirty_buckets or []:
                 self._delete_path(f"{data_path}/{BUCKET_COL}={b}")
 
         t0 = time.time()
@@ -146,11 +154,20 @@ class BucketCheckpoint:
         out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_path)
         wall_ms = int((time.time() - t0) * 1000)
 
+        # An entirely-empty checkpoint (every bucket recomputed to zero
+        # rows) has no part files, so a schemaless parquet read cannot
+        # infer a schema — read back with the computed schema and fall
+        # back to an empty frame.
+        from pyspark.errors import AnalysisException
+
+        try:
+            data = self.spark.read.schema(out.schema).parquet(data_path)
+        except AnalysisException:
+            data = self.spark.createDataFrame([], out.schema)
+
         # lineage/metrics rows for the recomputed buckets
-        out_counts = (
-            self.spark.read.parquet(data_path)
-            .groupBy(BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("rows_out"))
+        out_counts = data.groupBy(BUCKET_COL).agg(
+            F.count(F.lit(1)).alias("rows_out")
         )
         lineage_rows = (
             current.join(out_counts, BUCKET_COL, "left")
@@ -166,4 +183,4 @@ class BucketCheckpoint:
         )
         lineage_rows.write.mode("overwrite").parquet(lin_path)
         current.unpersist()
-        return self.spark.read.parquet(data_path).drop(BUCKET_COL)
+        return data.drop(BUCKET_COL)

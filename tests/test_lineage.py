@@ -70,3 +70,42 @@ def test_incremental_resume_recomputes_only_dirty(spark, tmp_ckpt):
     }
     changed = [b for b in lineage1 if lineage1[b] != lineage2.get(b)]
     assert len(changed) == 1  # exactly the bucket containing c7
+
+
+def test_removed_input_does_not_resurrect_stale_rows(spark, tmp_ckpt):
+    """Regression for the stale-checkpoint bug (ADVICE r1): with dynamic
+    partition overwrite, a bucket whose conversations VANISH from the
+    input kept its old partition on disk and was read back as current.
+    Dirty/removed buckets must be deleted before the rewrite."""
+    df = _input(spark, [f"r{i}" for i in range(20)])
+    out1 = tmp_ckpt.materialize("stage3", df, _compute)
+    assert out1.count() == 20
+
+    # drop half the conversations entirely
+    kept = [f"r{i}" for i in range(10)]
+    df2 = _input(spark, kept)
+    out2 = tmp_ckpt.materialize("stage3", df2, _compute)
+    got = {r["conv_id"] for r in out2.collect()}
+    assert got == set(kept), got  # no resurrected r10..r19
+
+    # and a THIRD run with unchanged input early-returns the same rows
+    out3 = tmp_ckpt.materialize("stage3", df2, _compute)
+    assert {r["conv_id"] for r in out3.collect()} == set(kept)
+
+
+def test_dirty_bucket_recompute_to_zero_rows(spark, tmp_ckpt):
+    """A dirty bucket whose recompute yields ZERO rows must not keep its
+    stale partition: filter the compute to drop one conversation's rows
+    while its bucket's input fingerprint changes."""
+    df = _input(spark, ["solo"])  # all rows in one bucket
+    tmp_ckpt.materialize("stage4", df, _compute)
+
+    df2 = df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))
+    )  # bucket dirty
+
+    def compute_empty(bucketed):
+        return _compute(bucketed).filter(F.lit(False))
+
+    out = tmp_ckpt.materialize("stage4", df2, compute_empty)
+    assert out.count() == 0, out.collect()
