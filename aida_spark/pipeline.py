@@ -629,8 +629,11 @@ class AidaPipeline:
         bucket = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast(
             "int"
         )
+        # only the solver's columns ride the fan-in shuffle — role/tool/ts
+        # would ship through the cogroup (and Arrow) for nothing
+        turns_slim = transcripts.select("conv_id", "turn_idx", "text")
         return (
-            transcripts.withColumn("_sbucket", bucket)
+            turns_slim.withColumn("_sbucket", bucket)
             .groupBy("_sbucket")
             .cogroup(payload.withColumn("_sbucket", bucket).groupBy("_sbucket"))
             .applyInPandas(solve_bucket, ASSIGNMENT_SCHEMA)
