@@ -2,12 +2,19 @@
 columns with typed metadata, processed through ``mapInPandas`` so each
 Arrow batch is decoded/transformed in one vectorized pass.
 
-The decode step is STUBBED — the real image/audio libraries are not in
-this container. ``decoder="fake"`` (default) produces a deterministic fake
-decode (dimensions/duration derived from the byte content) so the
-Spark-side plumbing — schema, batching, partitioning, UDF signature — is
-real and tested; ``decoder="real"`` raises NotImplementedError at the
-exact point a PIL/ffmpeg call would go.
+Decoder tiers:
+
+- ``decoder="auto"`` (default): REAL decoding for formats the Python
+  stdlib can parse — WAV audio (the ``wave`` module: channels, sample
+  rate, true duration) and binary PGM/PPM images (dimensions + mean
+  pixel feature) — falling back to the deterministic fake for anything
+  else (JPEG/PNG/MP4 need PIL/ffmpeg, which this container lacks).
+- ``decoder="fake"``: deterministic fake decode only (dimensions and
+  duration derived from the byte content) — exercises the Spark-side
+  plumbing (schema, batching, partitioning, UDF signature) end to end.
+- ``decoder="real"``: strict — raises NotImplementedError where the
+  PIL/ffmpeg call would go if the format is not stdlib-decodable, so
+  silent fake fallbacks cannot masquerade as real decodes.
 """
 
 from __future__ import annotations
@@ -50,6 +57,47 @@ DECODED_SCHEMA = StructType(
 )
 
 
+def _try_stdlib_decode(content: bytes) -> tuple[int, int, int, int] | None:
+    """Real decode for stdlib-parseable formats; None if unrecognized.
+
+    - WAV (RIFF): channels/rate/frames via the ``wave`` module; duration
+      from true frame math; feature hash over the PCM payload.
+    - PGM/PPM (binary P5/P6): width/height from the header; feature =
+      mean pixel value folded into the hash.
+    """
+    if not content:
+        return None
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(bytes(content))) as w:
+                channels = w.getnchannels()
+                frames = w.getnframes()
+                rate = w.getframerate() or 1
+                duration_ms = int(frames * 1000 / rate)
+                pcm = w.readframes(frames)
+        except (wave.Error, EOFError):
+            return None
+        feature = (zlib.crc32(pcm) * 0x9E3779B1) & 0x7FFFFFFFFFFFFFFF
+        return channels, rate, duration_ms, feature
+    if content[:2] in (b"P5", b"P6"):
+        try:
+            header = bytes(content[:64]).split()
+            width, height = int(header[1]), int(header[2])
+            n_px = width * height * (3 if content[:2] == b"P6" else 1)
+            pixels = bytes(content[-n_px:])
+            mean_px = sum(pixels) // max(len(pixels), 1)
+        except (ValueError, IndexError):
+            return None
+        feature = (
+            (zlib.crc32(bytes(content)) ^ mean_px) * 0x9E3779B1
+        ) & 0x7FFFFFFFFFFFFFFF
+        return width, height, 0, feature
+    return None
+
+
 def _fake_decode(content: bytes, kind: str) -> tuple[int, int, int, int]:
     """Deterministic stand-in for the real decoder: derives plausible
     dimensions/duration from the byte content so downstream logic
@@ -62,21 +110,29 @@ def _fake_decode(content: bytes, kind: str) -> tuple[int, int, int, int]:
     return width, height, duration, feature
 
 
-def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+def decode_media(df: DataFrame, decoder: str = "auto") -> DataFrame:
     """binary media -> typed metadata + feature hash, one Arrow batch at a
     time. Column pruning matters at scale: only (media_id, kind, content)
     are read; the content bytes never leave the executor."""
 
+    def one(mid, kind, content):
+        if decoder != "fake":
+            real = _try_stdlib_decode(content)
+            if real is not None:
+                return (mid, kind, *real)
+            if decoder == "real":
+                # the exact point a PIL/ffmpeg call would go; those
+                # libraries are unavailable in this environment
+                raise NotImplementedError(
+                    f"no stdlib decoder for this {kind} payload; "
+                    "PIL/ffmpeg required"
+                )
+        return (mid, kind, *_fake_decode(content, kind))
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                # Real path: PIL.Image.open(io.BytesIO(content)) / ffmpeg
-                # probe. Libraries unavailable in this environment.
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg; use decoder='fake'"
-                )
             rows = [
-                (mid, kind, *_fake_decode(content, kind))
+                one(mid, kind, content)
                 for mid, kind, content in zip(
                     pdf["media_id"], pdf["kind"], pdf["content"]
                 )

@@ -442,3 +442,43 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         df, {"keep_all": 1.0, "keep_tenth": 0.1}, default_fraction=0.0
     ).collect()}
     assert a == b
+
+
+def test_media_decode_real_stdlib_formats(spark):
+    """decoder='real' must REALLY decode stdlib-parseable formats: a
+    synthesized WAV's channel count / sample rate / true duration, and a
+    binary PGM's dimensions — no fake fallback (strict mode raises on
+    undecodable payloads, proven by the JPEG-ish blob)."""
+    import io
+    import wave as wave_mod
+
+    import pytest as _pytest
+    from aida_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x02" * 2 * 4000)  # 4000 frames = 500 ms
+    wav_bytes = buf.getvalue()
+    pgm_bytes = b"P5\n4 3\n255\n" + bytes(range(12))
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_bytes), "audio/wav"),
+         (2, "image", bytearray(pgm_bytes), "image/x-portable-graymap")],
+        "media_id long, kind string, content binary, mime string",
+    )
+    rows = {r["media_id"]: r for r in decode_media(df, decoder="real").collect()}
+    assert rows[1]["width"] == 2          # channels
+    assert rows[1]["height"] == 8000      # sample rate
+    assert rows[1]["duration_ms"] == 500  # true frame math
+    assert rows[2]["width"] == 4 and rows[2]["height"] == 3
+    assert rows[2]["duration_ms"] == 0
+
+    undecodable = spark.createDataFrame(
+        [(3, "image", bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), "image/jpeg")],
+        "media_id long, kind string, content binary, mime string",
+    )
+    with _pytest.raises(Exception, match="PIL/ffmpeg|PythonException"):
+        decode_media(undecodable, decoder="real").collect()
