@@ -442,6 +442,48 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+def _q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (stdlib) media decoding under the driver oracle: deterministic
+    WAV and PGM/PPM payloads synthesized in-process, decoded with
+    decoder='real' — STRICT mode, no fake fallback possible — and the
+    decoded channel/rate/duration/dimension/feature values pinned in the
+    oracle (the payload construction is seeded and bit-stable)."""
+    import io
+    import wave
+
+    from aida_spark.operators.multimodal import decode_media
+
+    def _wav(ch: int, rate: int, frames: int, blip: bytes) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(blip * ch * frames)
+        return buf.getvalue()
+
+    payloads = [
+        (1, "audio", _wav(2, 8000, 4000, b"\x01\x02"), "audio/wav"),
+        (2, "audio", _wav(1, 16000, 24000, b"\x7f\x00"), "audio/wav"),
+        (3, "image", b"P5\n6 4\n255\n" + bytes(range(24)),
+         "image/x-portable-graymap"),
+        (4, "image", b"P6\n2 2\n255\n" + bytes(range(12)),
+         "image/x-portable-pixmap"),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, bytearray(c), m) for i, k, c, m in payloads],
+        "media_id long, kind string, content binary, mime string",
+    )
+    return decode_media(df, decoder="real").select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "feature_hash",
+    )
+
+
 def _shipped(fn):
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
@@ -477,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_per_region": _shipped(_q_orders_per_region),
         "part_type_supplier_counts": _shipped(_q_part_type_supplier_counts),
         "media_decode": _shipped(_q_media_decode),
+        "media_decode_real": _shipped(_q_media_decode_real),
     }
 
 
@@ -832,6 +875,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(
                     a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        """,
+        "media_decode_real": """
+            SELECT * FROM (VALUES
+                (1, 'audio', 2, 8000, 500, 865444394653941182),
+                (2, 'audio', 1, 16000, 1500, 2328940674978471881),
+                (3, 'image', 6, 4, 0, 7678575031778961098),
+                (4, 'image', 2, 2, 0, 8719913294472408751)
+            ) AS t(media_id, kind, width, height, duration_ms, feature_hash)
         """,
         # simhash / media_decode: hash-mixing / binary-decode semantics not
         # reproducible in ANSI SQL -> rows-only checks.
