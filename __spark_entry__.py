@@ -396,18 +396,32 @@ def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup detection over the corpus plus planted duplicate
-    vectors (vec_id < 20 copied to vec_id + 100000): the LSH self-join must
-    recover every pair the oracle's exact all-pairs cosine finds."""
+    """Embedding near-dup detection over the corpus plus planted EXACT
+    duplicates (vec_id < 20 copied to +100000) and planted NEAR duplicates
+    (last element replaced with 0.5, +200000 — cosines 0.74-0.99, of which
+    about half clear the 0.9 threshold): the LSH self-join must recover
+    every pair the oracle's exact all-pairs cosine finds — including the
+    near-identical-but-not-equal ones — and the exact verify must exclude
+    the sub-threshold perturbed pairs on both sides identically."""
     from aida_spark.operators.dedup import embedding_near_dups
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    planted = emb.filter(F.col("vec_id") < 20).select(
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    head = base.filter(F.col("vec_id") < 20)
+    exact_copies = head.select(
         (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
     )
-    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    perturbed = head.select(
+        (F.col("vec_id") + F.lit(200000)).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("embedding"), 1, 63), F.array(F.lit(0.5))
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(exact_copies).unionByName(perturbed)
     return embedding_near_dups(
-        allv, threshold=0.9, n_planes=6, n_tables=8, dim=64
+        allv, threshold=0.9, n_planes=4, n_tables=16, dim=64
     ).select("id_a", "id_b")
 
 
@@ -865,16 +879,20 @@ def oracle_sql() -> dict[str, str]:
         # the planted duplicates — the LSH path must find every such pair.
         "embedding_near_dups": """
             WITH allv AS (
-                SELECT vec_id, embedding FROM embeddings
+                SELECT vec_id, embedding::DOUBLE[] AS embedding
+                FROM embeddings
                 UNION ALL
-                SELECT vec_id + 100000 AS vec_id, embedding
+                SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[]
+                FROM embeddings WHERE vec_id < 20
+                UNION ALL
+                SELECT vec_id + 200000 AS vec_id,
+                       list_concat(embedding[1:63]::DOUBLE[], [0.5]::DOUBLE[])
                 FROM embeddings WHERE vec_id < 20
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM allv a, allv b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(
-                    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9
         """,
         "media_decode_real": """
             SELECT * FROM (VALUES
