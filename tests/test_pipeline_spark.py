@@ -442,3 +442,38 @@ def test_switched_unit_similarity_through_pipeline(spark):
         ("t1/0/17", "Kashmir_(song)"),
         ("t1/0/28", "Knebworth_Festival"),
     }
+
+
+def test_round2_features_interact_cleanly(spark, tmp_path):
+    """Round-2 feature-interaction gate: SwitchedUnit unit-LM similarity +
+    G1 early-fix heuristics + chunking + bucket checkpoint, enabled
+    together, must produce a deterministic result that resumes identically
+    — and the golden conversation's coherence link (Kashmir -> the song)
+    must survive the combination."""
+    from aida_spark.core.disambiguate import DisambiguationConfig
+    from aida_spark.lineage import BucketCheckpoint
+
+    cfg = PipelineConfig(
+        max_turns_per_chunk=2,
+        disambiguation=DisambiguationConfig(
+            local_similarity="switched_unit",
+            use_confidence_threshold_fix=True,
+            confidence_fix_threshold=0.95,
+            use_easy_mentions_fix=True,
+            easy_mentions_max_candidates=2,
+        ),
+    )
+    p = AidaPipeline(spark, kb_tables(), cfg)
+    corpus = pd.concat(
+        [golden_transcript(), synth_transcripts(8, 5, seed=17)]
+    )
+    df = spark.createDataFrame(corpus)
+    ck = BucketCheckpoint(spark, str(tmp_path / "r2ck"), n_buckets=8)
+    first = {
+        (r["subj"], r["obj"]) for r in p.run(df, checkpoint=ck).collect()
+    }
+    assert ("t1/0/17", "Kashmir_(song)") in first
+    second = {
+        (r["subj"], r["obj"]) for r in p.run(df, checkpoint=ck).collect()
+    }
+    assert first == second
