@@ -17,8 +17,6 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -36,6 +34,23 @@ __all__ = [
 ]
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _finalize(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Materialize ``result`` (persisted — pair sets are small) and release
+    the persisted intermediates that fed it. Without this, repeated
+    operator calls in a long-lived session accumulate MEMORY_AND_DISK
+    blocks until LRU pressure evicts them — which also taxes *unrelated*
+    queries that run later in the same session (bench in-sequence effect).
+    The result stays persisted (callers may ``unpersist()`` when done);
+    re-evaluating it never re-runs the candidate-generation stages."""
+    from pyspark import StorageLevel
+
+    result = result.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    for df in intermediates:
+        df.unpersist()
+    return result
 
 
 def exact_dedup(
@@ -210,49 +225,57 @@ def minhash_lsh_pairs(
         .join(reps.select(F.col("id").alias("id_b"),
                           F.col("norm").alias("norm_b")), "id_b")
     )
-    return (
+    result = (
         with_texts.withColumn(
             "jaccard", exact_jaccard(F.col("norm_a"), F.col("norm_b"))
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finalize(result, reps, banded)
 
 
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (xxhash64 per token, bitwise
-    majority vote) — pandas UDF for the bit-vote, token hashing JVM-side
-    would need an explode/agg; the UDF keeps it one narrow pass."""
+    """64-bit SimHash over whitespace tokens (64-bit hash per token,
+    bitwise majority vote) in one narrow pandas-UDF pass.
+
+    Token hashing is batch-vectorized: every token of the whole Arrow
+    batch is hashed in ONE ``pd.util.hash_array`` call (C-implemented
+    SipHash with pandas' fixed default key — deterministic for a given
+    pandas build; the VALUES-pinned oracles catch any library drift), and
+    the per-document bit votes are segment sums (``np.add.reduceat``), so
+    no per-token or per-document Python-level hashing remains. Duplicate
+    tokens vote once each (multiset semantics, as in Charikar's original
+    formulation over weighted features)."""
+
+    bit_positions = np.arange(64, dtype=np.uint64)
 
     @F.pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
+        toks_per_row = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(r) for r in toks_per_row], dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            tokens = (t or "").lower().split()
-            if not tokens:
-                continue
-            # two independent crc32 halves -> full 64 bits of token-hash
-            # entropy, then a golden-ratio multiply to mix (a single crc32
-            # gives only 2^32 distinct pre-mix values)
-            hashes = np.fromiter(
-                (
-                    (
-                        (zlib.crc32(b) << 32)
-                        | zlib.crc32(b, 0x9E3779B9)
-                    ) * 0x9E3779B97F4A7C15 & ((1 << 64) - 1)
-                    for b in (tok.encode("utf-8") for tok in tokens)
-                ),
-                dtype=np.uint64,
-                count=len(tokens),
-            )
-            bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 >= len(tokens)
-            val = np.uint64(0)
-            for bit_idx in np.nonzero(votes)[0]:
-                val |= np.uint64(1) << np.uint64(bit_idx)
-            out[i] = np.int64(val.astype(np.int64))
+        total = int(counts.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for row in toks_per_row:
+            flat[pos : pos + len(row)] = row
+            pos += len(row)
+        hashes = pd.util.hash_array(flat)  # uint64, one C call per batch
+        bits = ((hashes[:, None] >> bit_positions) & np.uint64(1)).astype(
+            np.int64
+        )  # (total_tokens, 64)
+        nz = counts > 0
+        cnz = counts[nz]
+        offsets = np.concatenate(([0], np.cumsum(cnz)[:-1]))
+        votes = np.add.reduceat(bits, offsets, axis=0)  # (docs_nz, 64)
+        maj = (votes * 2 >= cnz[:, None]).astype(np.uint64)
+        vals = (maj << bit_positions[None, :]).sum(axis=1)
+        out[nz] = vals.view(np.int64)
         return pd.Series(out)
 
     return df.select(
@@ -298,13 +321,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("isec"))
     )
-    return (
+    result = (
         isec.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
         .withColumn("jaccard", F.col("isec") / (F.col("na") + F.col("nb") - F.col("isec")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finalize(result, grams)
 
 
 def embedding_near_dups(
@@ -325,22 +349,32 @@ def embedding_near_dups(
     candidate self-join is quadratic in bucket width — pick
     ``n_planes ~ ceil(log2(N / target_bucket))`` (e.g. 17 planes for 10^9
     vectors at ~8k-row buckets); recall at a given threshold is recovered
-    by raising ``n_tables`` (union of independent probes). Pass ``dim``
-    explicitly to avoid the one-row lookup job.
+    by raising ``n_tables`` (union of independent probes). ``dim`` may be
+    omitted: hyperplanes are derived lazily inside the Arrow UDF from the
+    batch's vector length (deterministic given the seed), so omitting it
+    never costs a driver-side job.
     """
     from .knn import cosine_sim_col, _hyperplanes
     import numpy as np
 
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    all_planes = np.stack(
-        [_hyperplanes(dim, n_planes, 7 + t) for t in range(n_tables)]
-    )
     weights = (1 << np.arange(n_planes)).astype(np.int64)
+    plane_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        plane_cache[dim] = np.stack(
+            [_hyperplanes(dim, n_planes, 7 + t) for t in range(n_tables)]
+        )
+
+    def _planes_for(d: int) -> np.ndarray:
+        if d not in plane_cache:
+            plane_cache[d] = np.stack(
+                [_hyperplanes(d, n_planes, 7 + t) for t in range(n_tables)]
+            )
+        return plane_cache[d]
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())
+        all_planes = _planes_for(mat.shape[1])
         codes = np.empty((len(mat), n_tables), dtype=np.int64)
         for t in range(n_tables):
             bits = (mat @ all_planes[t]) > 0
@@ -369,11 +403,12 @@ def embedding_near_dups(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    result = (
         cand.withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+    return _finalize(result, b)
 
 
 def simhash_pairs(
@@ -447,8 +482,9 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    result = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _finalize(result, sh)

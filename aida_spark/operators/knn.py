@@ -95,18 +95,29 @@ def lsh_bucketed_topk(
     deduped, exact-cosine reranked. Recall grows with n_tables (union of
     probes), bucket size shrinks with n_planes — the classic tradeoff.
     The candidate join is an equi-join on (table, bucket): at scale the
-    base side shuffles once on a uniform hash key."""
-    if dim is None:
-        dim = len(base.select(vec_col).first()[0])
-    all_planes = np.stack(
-        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    )  # (tables, dim, planes)
+    base side shuffles once on a uniform hash key.
 
+    ``dim`` may be omitted: hyperplanes are derived lazily inside the
+    Arrow UDF from the first batch's vector length (deterministic given
+    the seed), so omitting it never costs a driver-side lookup job."""
     weights = (1 << np.arange(n_planes)).astype(np.int64)
+    plane_cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        plane_cache[dim] = np.stack(
+            [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+        )  # (tables, dim, planes)
+
+    def _planes_for(d: int) -> np.ndarray:
+        if d not in plane_cache:
+            plane_cache[d] = np.stack(
+                [_hyperplanes(d, n_planes, seed + t) for t in range(n_tables)]
+            )
+        return plane_cache[d]
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_udf(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (n, dim)
+        all_planes = _planes_for(mat.shape[1])
         out = []
         codes = np.empty((len(mat), n_tables), dtype=np.int64)
         for t in range(n_tables):
@@ -189,8 +200,22 @@ def ivf_topk(
     shuffles once on the cell key (cells are ~corpus/n_centroids wide —
     pick n_centroids ~ sqrt(corpus) so cells stay bounded); queries
     broadcast. Recall grows with n_probe (fraction of cells scanned).
+
+    The training sample is the ``sample_size`` rows with the smallest
+    ``xxhash64(id, seed)`` — a deterministic uniform sample executed as a
+    distributed top-n (per-partition heaps, driver merge of sample_size
+    rows only). Unlike ``limit()``, it is NOT first-partition-biased: on
+    a corpus sorted/clustered by region the sample still spans all
+    regions, so the k-means centroids cover every cluster.
     """
-    take = base.select(F.col(vec_col)).limit(sample_size).collect()
+    take = (
+        base.select(
+            F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
     sample = np.array([r[0] for r in take], dtype=np.float64)
     if dim is None:
         dim = sample.shape[1]

@@ -70,25 +70,34 @@ def sessionize_stream(
         else:
             last_epoch, session_no = None, 0
         user = int(key[0])
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
-            out_ids = []
-            out_sessions = []
-            for ev, ts in zip(pdf[id_col], pdf[ts_col]):
-                epoch = ts.timestamp()
-                if last_epoch is None or (epoch - last_epoch) > gap_sec:
-                    session_no += 1
-                last_epoch = epoch
-                out_ids.append(int(ev))
-                out_sessions.append(session_no)
-            yield pd.DataFrame(
-                {
-                    "event_id": out_ids,
-                    "user_id": user,
-                    "session_no": out_sessions,
-                }
-            )
+        # applyInPandasWithState delivers a group's rows in arbitrary order
+        # ACROSS Arrow chunks (maxRecordsPerBatch bounds each chunk), so a
+        # per-chunk sort is not enough for a user with >1 chunk in a batch:
+        # gap detection would see out-of-order timestamps. Materialize the
+        # whole group first — memory is already bounded by the user's
+        # per-micro-batch volume, which is the operator's documented bound.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last_epoch, session_no))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values([ts_col, id_col])
+        out_ids = []
+        out_sessions = []
+        for ev, ts in zip(pdf[id_col], pdf[ts_col]):
+            epoch = ts.timestamp()
+            if last_epoch is None or (epoch - last_epoch) > gap_sec:
+                session_no += 1
+            last_epoch = epoch
+            out_ids.append(int(ev))
+            out_sessions.append(session_no)
         state.update((last_epoch, session_no))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": user,
+                "session_no": out_sessions,
+            }
+        )
 
     stream = events.withColumn(
         ts_col, F.col(ts_col).cast("timestamp")

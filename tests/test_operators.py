@@ -373,6 +373,112 @@ def test_ivf_partial_probe_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_ivf_centroids_cover_sorted_clusters(spark):
+    """The centroid-training sample must not be first-partition-biased:
+    on a corpus SORTED by cluster (all of cluster A before cluster B...),
+    a limit()-style sample would train centroids on one region only and
+    partial-probe recall would collapse for queries from the other
+    clusters. With the hash-ordered deterministic sample, IVF with
+    moderate probing must still find the exact top-k for queries drawn
+    from EVERY cluster."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from aida_spark.operators.knn import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(3)
+    dim, per_cluster = 16, 400
+    centers = rng.standard_normal((4, dim)) * 5
+    rows = []
+    vid = 0
+    for c in range(4):  # sorted: cluster 0 rows first, then 1, 2, 3
+        pts = centers[c] + rng.standard_normal((per_cluster, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartitionByRange(8, "vec_id")  # partition order == cluster order
+    # one query per cluster, including the LAST cluster (the one a
+    # first-partition-biased sample never sees)
+    qids = [0, per_cluster, 2 * per_cluster, 3 * per_cluster]
+    queries = df.filter(F.col("vec_id").isin(qids))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            df, queries, k=5, n_centroids=8, n_probe=4,
+            sample_size=600, dim=dim,
+        ).collect()
+    }
+    per_query = {
+        q: len({p for p in exact if p[0] == q} & ivf) / 5.0 for q in qids
+    }
+    assert all(r >= 0.8 for r in per_query.values()), per_query
+
+
+def test_simhash_matches_independent_implementation(spark):
+    """The vectorized (flatten + reduceat + bit-pack) simhash must equal a
+    naive per-token/per-bit second implementation that shares only the
+    hash primitive — guarding the batch-segmentation logic (the same
+    cross-check gates tools/pin_simhash_oracle.py before re-pinning)."""
+    import numpy as np
+    import pandas as pd
+    from aida_spark.operators.dedup import simhash
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "   ",
+        "one",
+        "Repeated repeated REPEATED tokens tokens vote as a multiset",
+        "unicode tökens — ümlauts and dashes",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+
+    def ref(text):
+        tokens = (text or "").lower().split()
+        if not tokens:
+            return 0
+        votes = [0] * 64
+        for tok in tokens:
+            h = int(pd.util.hash_array(np.array([tok], dtype=object))[0])
+            for bit in range(64):
+                votes[bit] += (h >> bit) & 1
+        val = sum(1 << b for b in range(64) if votes[b] * 2 >= len(tokens))
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t, got[i], ref(t))
+
+
+def test_operators_have_no_driver_side_row_fetch():
+    """Scale guard: no operator may fetch rows to the driver outside the
+    two documented bounded paths (the IVF training sample and operator
+    _finalize counts) — `.first()` / `.toPandas()` / unordered
+    `.limit().collect()` are the anti-patterns VERDICT r2 flagged."""
+    import pathlib
+    import re
+
+    ops_dir = pathlib.Path(__file__).parent.parent / "aida_spark" / "operators"
+    for path in ops_dir.glob("*.py"):
+        src = path.read_text()
+        assert ".first()" not in src, f"driver row-fetch in {path.name}"
+        assert ".toPandas()" not in src, f"driver toPandas in {path.name}"
+        # limit(...).collect() is only legal immediately after an orderBy
+        # (distributed top-n); a bare limit().collect() is partition-biased
+        for m in re.finditer(r"limit\(\w+\)\s*\.collect\(\)", src):
+            ctx = src[max(0, m.start() - 120) : m.start()]
+            assert ".orderBy(" in ctx, (
+                f"unordered limit().collect() in {path.name}"
+            )
+
+
 def test_simhash_pairs_pigeonhole_and_prepass(spark):
     """simhash_pairs: (a) a pair within the hamming radius is always found
     (pigeonhole banding guarantees recall 1.0 at the radius), (b) identical

@@ -134,3 +134,65 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     }
     assert len(got) == len(expected)
     assert got == expected
+
+
+def test_sessionization_hot_user_multi_chunk(spark, tmp_path):
+    """A user whose micro-batch volume exceeds the Arrow batch size is
+    delivered to applyInPandasWithState as MULTIPLE chunks in arbitrary
+    order — the group must be materialized and sorted as a whole before
+    gap detection, or timestamps regress across chunk boundaries and
+    session numbers come out wrong. Forces tiny Arrow chunks (50 rows)
+    and feeds one user 300 shuffled events spanning 3 sessions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from aida_spark.streaming.sessionize import sessionize_stream
+
+    in_dir = str(tmp_path / "hot_in")
+    out_dir = str(tmp_path / "hot_out")
+    ckpt = str(tmp_path / "hot_ckpt")
+
+    n = 300
+    idx = np.arange(n)
+    # 3 sessions: a >30min hole after every 100 events
+    epochs = 1_700_000_000 + idx * 10 + (idx // 100) * 3600
+    pdf = pd.DataFrame(
+        {
+            "event_id": idx.astype("int64"),
+            "user_id": np.int64(1),
+            "ts": pd.to_datetime(epochs, unit="s"),
+        }
+    )
+    rng = np.random.RandomState(42)
+    pdf = pdf.iloc[rng.permutation(n)].reset_index(drop=True)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(in_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .parquet(in_dir)
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            sessionize_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        (r["event_id"], r["session_no"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {(int(i), int(i) // 100 + 1) for i in range(n)}
+    assert got == expected
