@@ -300,7 +300,11 @@ class AidaPipeline:
         # driver never collects a KB table — at YAGO scale (~3M entities,
         # >10M surface forms) a collect+broadcast would push multi-GB of
         # Python objects through the driver heap.
-        from .kb_artifacts import publish_table
+        from .kb_artifacts import (
+            publish_hash_map,
+            publish_hash_set,
+            publish_table,
+        )
 
         art_dir = self.cfg.kb_artifact_dir
         mention_keys_df = (
@@ -309,12 +313,24 @@ class AidaPipeline:
             .unionByName(self.kb["dictionary"].select("mention"))
             .distinct()
         )
-        self._a_mention_keys = publish_table(spark, mention_keys_df, art_dir)
-        self._a_word_ids = publish_table(
-            spark, self.kb["word_ids"].select("word", "id"), art_dir
+        # string-keyed artifacts ship as int64 hash arrays (workers never
+        # materialize the strings; node-local mmap share — kb_artifacts.py)
+        self._a_mention_keys = publish_hash_set(spark, mention_keys_df, "mention",
+                                                dir_hint=art_dir)
+        self._a_first_words = publish_hash_set(
+            spark, mention_keys_df, "mention", first_word=True, dir_hint=art_dir
+        )
+        self._a_word_ids = publish_hash_map(
+            spark, self.kb["word_ids"], "word", "id", dir_hint=art_dir
         )
         self._a_expansions = publish_table(
-            spark, self.kb["word_expansion"].select("word", "expansion"), art_dir
+            spark,
+            self.kb["word_expansion"].select(
+                F.col("word").cast("long").alias("word"),
+                F.col("expansion").cast("long").alias("expansion"),
+            ),
+            art_dir,
+            n_parts=8,
         )
         # unknown stopwords map to word id 0 (the shared unknown-word id)
         stop_ids_df = (
@@ -328,13 +344,14 @@ class AidaPipeline:
     # ---- stage A: mention spotting (narrow) --------------------------
     def spot_mention_keys(self, transcripts: DataFrame) -> DataFrame:
         a_keys = self._a_mention_keys
+        a_fw = self._a_first_words
         unknown_caps = self.cfg.fuzzy_min_sim > 0.0
 
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from .kb_artifacts import load_first_words, load_key_set
+            from .kb_artifacts import load_hash_set
 
-            keys = load_key_set(a_keys, "mention")
-            fw = load_first_words(a_keys, "mention")
+            keys = load_hash_set(a_keys)
+            fw = load_hash_set(a_fw)
             for pdf in batches:
                 seen: set[tuple[str, str]] = set()
                 for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
@@ -551,16 +568,16 @@ class AidaPipeline:
             conv_id, turn_ids, texts, pay_cols: tuple, rows: list
         ) -> None:
             from .kb_artifacts import (
-                load_int_int_dict,
+                load_hash_map,
+                load_int_int_map,
                 load_int_set,
-                load_str_int_dict,
             )
 
-            word2id = load_str_int_dict(a_word_ids, "word", "id")
+            word2id = load_hash_map(a_word_ids)
             kb = _payload_to_kb(
                 pay_cols,
                 word2id,
-                load_int_int_dict(a_expansions, "word", "expansion"),
+                load_int_int_map(a_expansions, "word", "expansion"),
                 load_int_set(a_stopword_ids, "id"),
                 collection_size,
             )
@@ -647,6 +664,7 @@ class AidaPipeline:
         optimizer fully owns (pushdown, broadcast, WindowGroupLimit) and
         the throughput ceiling for the pipeline skeleton."""
         a_keys = self._a_mention_keys
+        a_fw = self._a_first_words
         unknown_caps = self.cfg.fuzzy_min_sim > 0.0
 
         spot_schema = StructType(
@@ -661,10 +679,10 @@ class AidaPipeline:
         )
 
         def spot_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from .kb_artifacts import load_first_words, load_key_set
+            from .kb_artifacts import load_hash_set
 
-            keys = load_key_set(a_keys, "mention")
-            fw = load_first_words(a_keys, "mention")
+            keys = load_hash_set(a_keys)
+            fw = load_hash_set(a_fw)
             for pdf in batches:
                 rows = []
                 for conv_id, turn_idx, text in zip(
