@@ -85,6 +85,29 @@ class BucketCheckpoint:
         if fs.exists(hpath):
             fs.delete(hpath, True)
 
+    def _delete_dirty_partitions(self, data_path: str, dirty_buckets) -> int:
+        """Remove the on-disk partitions of dirty/removed buckets before a
+        dynamic-partition-overwrite rewrite (a dirty bucket recomputed to
+        zero rows would otherwise keep its stale partition). Batched: ONE
+        listStatus enumerates existing partitions, deletes touch only
+        partitions that both exist and are dirty, and a full recompute
+        collapses to a single parent delete — at n_buckets=10^5 the
+        driver no longer issues one exists+delete RPC pair per bucket.
+        Returns the number of FS delete calls (tested)."""
+        fs, data_hpath = self._hadoop_fs(data_path)
+        if not fs.exists(data_hpath):
+            return 0
+        if len(dirty_buckets) >= self.n_buckets:
+            fs.delete(data_hpath, True)
+            return 1
+        dirty_names = {f"{BUCKET_COL}={b}" for b in dirty_buckets}
+        deletes = 0
+        for st in fs.listStatus(data_hpath):
+            if st.getPath().getName() in dirty_names:
+                fs.delete(st.getPath(), True)
+                deletes += 1
+        return deletes
+
     def lineage(self, stage: str) -> DataFrame | None:
         # Probe via the Hadoop FileSystem API, not os.path.exists — the
         # checkpoint base may be hdfs:// or s3a:// where a local stat is
@@ -139,9 +162,10 @@ class BucketCheckpoint:
             # output *contains*: a dirty bucket whose recompute yields zero
             # rows, or a bucket whose input vanished entirely, would keep
             # its stale partition on disk and be read back as current.
-            # Delete every dirty/removed bucket's partition up front.
-            for b in dirty_buckets or []:
-                self._delete_path(f"{data_path}/{BUCKET_COL}={b}")
+            # Delete every dirty/removed bucket's partition up front
+            # (batched: one listStatus, bounded deletes).
+            if dirty_buckets:
+                self._delete_dirty_partitions(data_path, dirty_buckets)
 
         t0 = time.time()
         if dirty_buckets is None:

@@ -56,11 +56,17 @@ __all__ = ["PipelineConfig", "AidaPipeline", "run_pipeline"]
 class PipelineConfig:
     disambiguation: DisambiguationConfig = field(default_factory=DisambiguationConfig)
     collection_size: int = 2_651_987
-    # K1 keyphrase pruning — the reference's "Fast settings" defaults
-    # (README.md:147,361-362: weight floor 0.002, top-1000 per entity,
-    # ~5x speedup). Without a cap, hot entities (1000s of keyphrases) x hot
-    # mentions explode the stage-C payload shuffle at scale. Set both to
-    # 0/None for the exhaustive ("Full settings") payload.
+    # K1 keyphrase pruning — the pipeline DEFAULT is the reference's
+    # *Fast* preset (README.md:147,361-362: weight floor 0.002, top-1000
+    # per entity, ~5x speedup, "little loss in accuracy"), NOT the
+    # reference's default CocktailParty preset (which does no pruning).
+    # This is a deliberate divergence for the 100-TB design point:
+    # without a cap, hot entities (1000s of keyphrases) x hot mentions
+    # explode the stage-C payload shuffle. Consequence: on a KB with
+    # sub-floor keyphrases the default pipeline output can differ from
+    # the unpruned core path — pinned by
+    # test_fast_pruning_default_diverges_and_full_matches_core, and set
+    # both to 0.0/None for exact reference-default ("Full") parity.
     min_keyphrase_weight: float = 0.002
     max_keyphrases_per_entity: int | None = 1000
     # P9 chunking: split conversations longer than this many turns; 0 = off

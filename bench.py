@@ -200,7 +200,10 @@ def main() -> None:
     floor_after = hardware_parallel_floor(n_small, n_large)
     floor = min(floor_before, floor_after)
     raw = (scaling[n_large] / scaling[n_small]) / (n_large / n_small)
-    efficiency = raw / floor
+    # the HEADLINE efficiency is the raw measured ratio (what the target
+    # is judged on); the floor-corrected figure is supplementary context
+    # for shared-host interference (see module docstring + BENCH.md §5)
+    efficiency_floor_corrected = raw / floor
 
     # --- headline throughput + queries at local[CPUS] (standard confs;
     # unpinned full width — measured +9% over local[16] even with the
@@ -240,6 +243,16 @@ def main() -> None:
         "topk_orders_per_customer",
     ):
         qfns[name](spark, SF_DIR).count()  # per-query JIT/codegen warmup
+        # isolate queries from each other's JVM garbage: the r2 bench
+        # regressions (knn 1.6->5.9 s, word_doc_freq 0.9->4.3 s) were
+        # root-caused to (a) never-unpersisted dedup intermediates (fixed
+        # in the operators) and (b) GC debt from the Arrow-heavy minhash
+        # run landing on the NEXT query's stages — worst for knn, whose
+        # sf0.1 scan is a single task, so collector pauses sit entirely
+        # on the critical path (experiment: tools/bench_query_experiment
+        # .py; System.gc() restores knn from 3.4 s to 0.67 s). Standard
+        # between-query benchmark hygiene, recorded in BENCH.md §6.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         qfns[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 3)
@@ -258,9 +271,16 @@ def main() -> None:
                 "kg_turns_per_sec": round(turns_per_sec, 2),
                 f"turns_per_sec_n{n_small}": round(scaling[n_small], 2),
                 f"turns_per_sec_n{n_large}": round(scaling[n_large], 2),
+                # headline: the raw measured N->4N ratio
+                "scaling_efficiency": round(raw, 3),
                 "raw_scaling_ratio": round(raw, 3),
+                # supplementary: corrected by the measured same-box
+                # coordination-free parallel ceiling (never inflates the
+                # headline — reported separately)
                 "hardware_parallel_floor": round(floor, 3),
-                "scaling_efficiency": round(efficiency, 3),
+                "scaling_efficiency_floor_corrected": round(
+                    efficiency_floor_corrected, 3
+                ),
             }
         )
     )

@@ -457,6 +457,78 @@ class TestM4UnitLM:
             -17.3988838128, abs=1e-8
         )
 
+    def test_lm_scores_match_independent_implementation(self, kb):
+        """Second-implementation cross-check: the pinned LM values above
+        are self-pinned (the reference ships the SwitchedUnit config but
+        not the measure classes), so re-derive the Dirichlet
+        query-likelihood scores HERE from the raw KB count tables with a
+        standalone function sharing no code with me_measures (its own
+        stopword filtering, unit derivation, smoothing arithmetic). This
+        upgrades the pins from determinism gates to correctness gates on
+        the documented formula."""
+        import math
+
+        from aida_spark.core.me_measures import (
+            bigram_lm_similarity,
+            unigram_lm_similarity,
+        )
+
+        MU = 100.0
+
+        def independent_lm(entity, ids, size):
+            toks = [t for t in ids if t not in kb.stopword_ids]
+            units = toks if size == 1 else list(zip(toks, toks[1:]))
+            if size == 1:
+                ent = {
+                    u: c
+                    for (e, u), c in kb.entity_kw_count.items()
+                    if e == entity
+                }
+                glob = dict(kb.kw_counts)
+            else:
+                # re-derive bigram counts straight from the keyphrase
+                # tables (what derive_unit_counts does, independently)
+                ent, glob = {}, {}
+                for (e, kp), c in kb.entity_kp_count.items():
+                    if e != entity:
+                        continue
+                    kts = [
+                        t
+                        for t in kb.kp_tokens.get(kp, ())
+                        if t not in kb.stopword_ids
+                    ]
+                    for u in zip(kts, kts[1:]):
+                        ent[u] = ent.get(u, 0) + c
+                for kp, df in kb.kp_counts.items():
+                    kts = [
+                        t
+                        for t in kb.kp_tokens.get(kp, ())
+                        if t not in kb.stopword_ids
+                    ]
+                    for u in zip(kts, kts[1:]):
+                        glob[u] = glob.get(u, 0) + df
+            total = sum(ent.values())
+            g_total = max(sum(glob.values()), 1)
+            score = 0.0
+            for u in units:
+                p_bg = max(glob.get(u, 0), 1) / g_total
+                score += math.log((ent.get(u, 0) + MU * p_bg) / (total + MU))
+            return score
+
+        text = (
+            "When Page played Kashmir at Knebworth , his Les Paul was "
+            "uniquely tuned ."
+        )
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        for entity in ("Kashmir_(song)", "Kashmir", "Jimmy_Page",
+                       "Larry_Page", "Knebworth_Festival"):
+            assert unigram_lm_similarity(entity, ids, kb) == pytest.approx(
+                independent_lm(entity, ids, 1), abs=1e-10
+            ), entity
+            assert bigram_lm_similarity(entity, ids, kb) == pytest.approx(
+                independent_lm(entity, ids, 2), abs=1e-10
+            ), entity
+
     def test_switched_unit_technique_golden(self):
         """End-to-end GRAPH solve with the SwitchedUnit local similarity:
         prior-dominant weights (0.93) pick Larry_Page for 'Page'; the

@@ -109,3 +109,44 @@ def test_dirty_bucket_recompute_to_zero_rows(spark, tmp_ckpt):
 
     out = tmp_ckpt.materialize("stage4", df2, compute_empty)
     assert out.count() == 0, out.collect()
+
+
+def test_resume_at_1024_buckets_with_bounded_deletes(spark, tmp_path):
+    """High-bucket-count resume: with n_buckets=1024 the driver must not
+    issue one exists+delete RPC pair per bucket. Exact-resume semantics
+    hold, and the batched delete path makes exactly one FS delete per
+    EXISTING dirty partition (3 here) and one parent delete on a full
+    recompute — not O(n_buckets) calls."""
+    ckpt = BucketCheckpoint(spark, str(tmp_path / "ckpt1024"), n_buckets=1024)
+    df = _input(spark, [f"conv{i}" for i in range(300)])
+    out1 = ckpt.materialize("big", df, _compute)
+    assert out1.count() == 300
+
+    # dirty exactly 3 conversations -> at most 3 buckets dirty
+    df2 = df.withColumn(
+        "text",
+        F.when(
+            F.col("conv_id").isin("conv1", "conv2", "conv3"),
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    bucketed = ckpt._bucket(df2)
+    dirty_expected = {
+        r["_bucket"]
+        for r in bucketed.filter(
+            F.col("conv_id").isin("conv1", "conv2", "conv3")
+        ).select("_bucket").distinct().collect()
+    }
+    data_path, _lin = ckpt._paths("big")
+    n_del = ckpt._delete_dirty_partitions(data_path, sorted(dirty_expected))
+    assert n_del == len(dirty_expected) <= 3
+    # full-dirty collapses to ONE parent delete
+    assert ckpt._delete_dirty_partitions(data_path, list(range(1024))) == 1
+
+    # the checkpoint data dir is gone now; a fresh materialize rebuilds it
+    # and a subsequent partial resume returns exact results
+    ckpt2 = BucketCheckpoint(spark, str(tmp_path / "ckpt1024b"), n_buckets=1024)
+    ckpt2.materialize("big", df, _compute)
+    out2 = ckpt2.materialize("big", df2, _compute)
+    got = {(r["conv_id"], r["n_turns"]) for r in out2.collect()}
+    assert got == {(f"conv{i}", 3) for i in range(300)}

@@ -477,3 +477,59 @@ def test_round2_features_interact_cleanly(spark, tmp_path):
         (r["subj"], r["obj"]) for r in p.run(df, checkpoint=ck).collect()
     }
     assert first == second
+
+
+def test_fast_pruning_default_diverges_and_full_matches_core(spark):
+    """The pipeline DEFAULT is the reference's *Fast* preset (keyphrase
+    weight floor 0.002 + top-1000 cap) — a deliberate divergence from the
+    reference's unpruned default preset, documented at PipelineConfig.
+    Pin all three facts that makes load-bearing:
+
+    1. Full settings (0.0/None) reproduce the unpruned core single-node
+       scores exactly (reference-default parity path exists).
+    2. On the fixture KB every keyphrase clears the 0.002 floor, so the
+       golden tests are valid under the Fast default (default == Full
+       here) — the reason the divergence is invisible in the goldens.
+    3. A floor that actually bites changes the scores (the pruning knob
+       is real, not dead config).
+    """
+    from aida_spark.core.disambiguate import prepare
+    from aida_spark.fixtures import GOLDEN_SENTENCE
+
+    golden = golden_transcript()
+
+    def pipeline_scores(cfg: PipelineConfig) -> dict[str, tuple[str, float]]:
+        out = AidaPipeline(spark, kb_tables(), cfg).run(
+            spark.createDataFrame(golden)
+        ).collect()
+        return {r["mention"]: (r["obj"], r["score"]) for r in out}
+
+    kb = build_kb()
+    doc = prepare("t1/0", GOLDEN_SENTENCE, kb)
+    core = {
+        r.mention.surface: (r.entity, r.score)
+        for r in disambiguate_document(doc, kb, DisambiguationConfig())
+        if r.entity != OOKBE
+    }
+
+    full = pipeline_scores(
+        PipelineConfig(min_keyphrase_weight=0.0, max_keyphrases_per_entity=None)
+    )
+    assert set(full) == set(core)
+    for m in core:
+        assert full[m][0] == core[m][0], m
+        assert abs(full[m][1] - core[m][1]) < 1e-8, (m, full[m], core[m])
+
+    default = pipeline_scores(PipelineConfig())
+    assert default == full  # fixture keyphrases all clear the 0.002 floor
+
+    # fixture NPMI weights span [0.61, 1.12]: a 0.8 floor (and a top-1
+    # cap) genuinely prunes keyphrases here, so the knobs must move the
+    # scores — the divergence the Fast preset trades for its ~5x speedup
+    pruned = pipeline_scores(
+        PipelineConfig(min_keyphrase_weight=0.8, max_keyphrases_per_entity=1)
+    )
+    assert set(pruned) == set(full)  # same mentions spotted
+    assert any(
+        abs(pruned[m][1] - full[m][1]) > 1e-6 for m in full
+    ), (pruned, full)
