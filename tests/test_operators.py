@@ -588,3 +588,130 @@ def test_media_decode_real_stdlib_formats(spark):
     )
     with _pytest.raises(Exception, match="PIL/ffmpeg|PythonException"):
         decode_media(undecodable, decoder="real").collect()
+
+
+class TestGraphOps:
+    def test_connected_components_chain_and_singletons(self, spark):
+        """A 4-node chain, a 2-clique and an isolated node: labels must
+        converge to the min id of each component (chain diameter 3 >
+        one propagation round, so the loop must actually iterate)."""
+        from aida_spark.operators.graphops import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+    def test_dedup_clusters_from_minhash_pairs(self, spark):
+        from aida_spark.operators.dedup import minhash_lsh_pairs
+        from aida_spark.operators.graphops import dedup_clusters
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base),
+            (2, base.replace("dog", "cat")),
+            (3, base.replace("dog", "rat")),
+            (4, "completely different content about database shuffles " * 8),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5)
+        got = {
+            r["doc_id"]: (r["cluster_id"], r["keep"])
+            for r in dedup_clusters(df, pairs).collect()
+        }
+        assert got[1] == (1, True)
+        assert got[2] == (1, False) and got[3] == (1, False)
+        assert got[4] == (4, True)  # singleton keeps itself
+
+
+class TestDecontam:
+    def test_find_contaminated_planted_overlap(self, spark):
+        from aida_spark.operators.decontam import find_contaminated
+
+        secret = "alpha bravo charlie delta echo foxtrot golf hotel india"
+        corpus = spark.createDataFrame(
+            [
+                (1, f"prefix words here {secret} and suffix padding words"),
+                (2, "entirely unrelated text with no benchmark overlap at all"),
+                (3, secret),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(100, secret), (200, "nothing from this appears in the corpus text")],
+            "eval_id long, text string",
+        )
+        got = {
+            (r["doc_id"], r["eval_id"]): r["n_matched_grams"]
+            for r in find_contaminated(corpus, evals, n=8).collect()
+        }
+        # the 9-word secret has two 8-grams; docs 1 and 3 contain both
+        assert got == {(1, 100): 2, (3, 100): 2}
+
+    def test_min_matches_threshold(self, spark):
+        from aida_spark.operators.decontam import find_contaminated
+
+        secret = "alpha bravo charlie delta echo foxtrot golf hotel"
+        corpus = spark.createDataFrame(
+            [(1, f"x {secret} y")], "doc_id long, text string"
+        )
+        evals = spark.createDataFrame(
+            [(9, secret)], "eval_id long, text string"
+        )
+        assert (
+            find_contaminated(corpus, evals, n=8, min_matches=2).count() == 0
+        )
+        assert (
+            find_contaminated(corpus, evals, n=8, min_matches=1).count() == 1
+        )
+
+
+class TestPacking:
+    def test_pack_sequences_matches_reference_greedy(self, spark):
+        """Spark packing equals a pure-Python greedy fill per shard,
+        including the oversized-document case (own overflowing pack)."""
+        import numpy as np
+        from aida_spark.operators.packing import pack_sequences
+
+        rng = np.random.RandomState(5)
+        docs = [(int(i), int(rng.randint(1, 300))) for i in range(500)]
+        docs.append((500, 5000))  # longer than capacity
+        df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+        got = {
+            r["doc_id"]: (r["shard"], r["pack_no"], r["pack_fill"])
+            for r in pack_sequences(df, capacity=512, n_shards=8).collect()
+        }
+        assert len(got) == 501
+
+        # reference: greedy fill in doc_id order within each shard
+        shards: dict[int, list[tuple[int, int]]] = {}
+        for did, n in docs:
+            shards.setdefault(got[did][0], []).append((did, n))
+        for shard, members in shards.items():
+            pack_no, fill, first = 0, 0, True
+            for did, n in sorted(members):
+                if not first and fill + n > 512:
+                    pack_no += 1
+                    fill = 0
+                fill += n
+                first = False
+                assert got[did] == (shard, pack_no, fill), (did, got[did])
+
+    def test_packs_respect_capacity(self, spark):
+        from pyspark.sql import functions as F
+        from aida_spark.operators.packing import pack_sequences
+
+        df = spark.range(400).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 100 + 1).alias("n_tokens")
+        )
+        packed = pack_sequences(df, capacity=128, n_shards=4)
+        # every pack's final fill <= capacity (no doc here exceeds it)
+        over = packed.groupBy("shard", "pack_no").agg(
+            F.max("pack_fill").alias("fill")
+        ).filter(F.col("fill") > 128)
+        assert over.count() == 0
