@@ -56,6 +56,23 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, simplified to the RE2/Java-regex common
+# subset (no lookahead): contraction suffixes, letter runs, digit runs,
+# symbol runs — each optionally absorbing one leading space; whitespace
+# between matches is skipped. This is the "BPE-ish regex" token counter:
+# it tracks real BPE pre-tokenization boundaries, not byte-pair merges.
+BPE_SPLIT_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-pre-tokenizer token count as one JVM-side regex pass."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0))
+        .cast("long"),
+    )
+
+
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / digit / uppercase / stopword-ratio features
     (the standard pre-training quality filters), all as column math."""

@@ -715,3 +715,23 @@ class TestPacking:
             F.max("pack_fill").alias("fill")
         ).filter(F.col("fill") > 128)
         assert over.count() == 0
+
+
+def test_token_count_bpe_pretokenizer_boundaries(spark):
+    """The BPE-ish regex counter follows GPT-2 pre-tokenizer boundaries:
+    contraction suffixes split off, letter/digit/symbol runs are single
+    tokens each (with a leading space absorbed), whitespace is free."""
+    from aida_spark.operators.textops import token_count_bpe
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),        # 2 letter runs
+            (2, "don't stop"),          # don + 't + stop
+            (3, "abc123 x-y"),          # abc + 123 + x + - + y
+            (4, ""),                    # nothing
+            (5, "it's we'll they've"),  # 3 words + 3 suffixes
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(df).collect()}
+    assert got == {1: 2, 2: 3, 3: 5, 4: 0, 5: 6}
