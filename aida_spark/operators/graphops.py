@@ -32,7 +32,12 @@ def connected_components(
     """(node, component) where component = min node id reachable through
     the undirected ``edges``. Nodes absent from every edge keep their own
     id (singleton clusters). Deterministic; converges when a full round
-    changes no label."""
+    changes no label.
+
+    The returned labels DataFrame is persisted (it was just used for the
+    convergence check; re-deriving it would replay every round) — callers
+    should ``unpersist()`` it once materialized. All intermediates are
+    released before returning."""
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(

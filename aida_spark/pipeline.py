@@ -347,6 +347,17 @@ class AidaPipeline:
         )
         self._a_stopword_ids = publish_table(spark, stop_ids_df, art_dir)
 
+    def close(self) -> None:
+        """Release session resources this pipeline pinned: the persisted
+        entity-bundle table and any local temp artifact dirs. Long-lived
+        sessions constructing many pipelines should call this (also runs
+        via atexit for the artifact dirs)."""
+        self._bundles.unpersist()
+        from .kb_artifacts import cleanup_published_artifacts
+
+        if self.cfg.kb_artifact_dir is None:
+            cleanup_published_artifacts()
+
     # ---- stage A: mention spotting (narrow) --------------------------
     def spot_mention_keys(self, transcripts: DataFrame) -> DataFrame:
         a_keys = self._a_mention_keys

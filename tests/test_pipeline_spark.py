@@ -533,3 +533,13 @@ def test_fast_pruning_default_diverges_and_full_matches_core(spark):
     assert any(
         abs(pruned[m][1] - full[m][1]) > 1e-6 for m in full
     ), (pruned, full)
+
+
+def test_pipeline_close_releases_resources(spark):
+    """close() unpersists the bundle table and clears local artifact
+    temp dirs (addFile already copied them, so closing one pipeline
+    never breaks another's loaded artifacts)."""
+    pipe = AidaPipeline(spark, kb_tables(), PipelineConfig())
+    assert pipe._bundles.storageLevel.useMemory
+    pipe.close()
+    assert not pipe._bundles.storageLevel.useMemory
