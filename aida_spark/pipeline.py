@@ -348,15 +348,17 @@ class AidaPipeline:
         self._a_stopword_ids = publish_table(spark, stop_ids_df, art_dir)
 
     def close(self) -> None:
-        """Release session resources this pipeline pinned: the persisted
-        entity-bundle table and any local temp artifact dirs. Long-lived
-        sessions constructing many pipelines should call this (also runs
-        via atexit for the artifact dirs)."""
-        self._bundles.unpersist()
-        from .kb_artifacts import cleanup_published_artifacts
+        """Release the session resources this pipeline pinned (the
+        persisted entity-bundle table). Long-lived sessions constructing
+        many pipelines should call this.
 
-        if self.cfg.kb_artifact_dir is None:
-            cleanup_published_artifacts()
+        Temp artifact dirs are NOT removed here: Spark re-fetches and
+        content-validates addFile sources on demand for as long as the
+        SparkContext lives (deleting a source makes any later fetch fail
+        with 'exists and does not match contents'); they are removed at
+        interpreter exit by kb_artifacts' atexit hook, when the JVM dies
+        with the process."""
+        self._bundles.unpersist()
 
     # ---- stage A: mention spotting (narrow) --------------------------
     def spot_mention_keys(self, transcripts: DataFrame) -> DataFrame:
