@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "token_count_bpe",
     "quality_metrics",
+    "repetition_metrics",
     "language_id",
     "fingerprint",
     "redact_pii",
@@ -110,6 +112,65 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
                 - F.col("n_digits") / (F.col("n_chars") + F.lit(1)),
             ),
         ),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``top_word_frac``: most-frequent word count / total words (the
+      "fraction of tokens in the most common token" rule);
+    - ``dup_bigram_frac``: 1 - distinct bigrams / total bigrams (the
+      "duplicate n-gram fraction" rule).
+
+    Scale shape: two explode + partial-aggregate passes, each shuffling
+    on (doc_id[, word]) — uniform keys, map-side combined; no UDFs.
+    Degenerate docs (no words / <2 words) score 0.0 on the respective
+    metric rather than null, so downstream threshold filters are total.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    tok = base.select("doc_id", F.explode("w").alias("word"))
+    top = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word"), F.sum("c").alias("n_words"))
+    )
+    bigrams = base.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.col("w").getItem(i), F.col("w").getItem(i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bg = bigrams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.countDistinct("g").alias("n_bg_distinct"),
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(top, "doc_id", "left")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("top_word") / F.col("n_words"), F.lit(0.0)
+            ).alias("top_word_frac"),
+            F.coalesce(
+                F.lit(1.0) - F.col("n_bg_distinct") / F.col("n_bg"),
+                F.lit(0.0),
+            ).alias("dup_bigram_frac"),
+        )
     )
 
 

@@ -735,3 +735,25 @@ def test_token_count_bpe_pretokenizer_boundaries(spark):
     )
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in token_count_bpe(df).collect()}
     assert got == {1: 2, 2: 3, 3: 5, 4: 0, 5: 6}
+
+
+def test_repetition_metrics_gopher_rules(spark):
+    from aida_spark.operators.textops import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # top word 1.0; bigrams all "spam spam" -> dup 2/3
+            (2, "all words are fully distinct"), # 1/5; no dup bigrams
+            (3, ""),                              # degenerate -> zeros
+            (4, "one"),                           # single word: top 1.0, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["top_word_frac"], r["dup_bigram_frac"])
+        for r in repetition_metrics(df).collect()
+    }
+    assert got[1] == (1.0, 1.0 - 1.0 / 3.0)
+    assert got[2] == (0.2, 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (1.0, 0.0)
