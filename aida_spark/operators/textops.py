@@ -21,6 +21,7 @@ __all__ = [
     "fingerprint",
     "redact_pii",
     "stratified_sample",
+    "mix_by_token_budget",
 ]
 
 # Compact closed-class marker words per language for the n-gram/stopword
@@ -171,6 +172,53 @@ def repetition_metrics(
                 F.lit(0.0),
             ).alias("dup_bigram_frac"),
         )
+    )
+
+
+def mix_by_token_budget(
+    df: DataFrame,
+    token_budgets: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix composition: select documents so each source
+    contributes ~``token_budgets[source]`` tokens. Per source, the keep
+    fraction is ``min(1, budget / total_tokens)`` and document selection
+    is the same Knuth multiplicative hash as :func:`stratified_sample`
+    — fully deterministic (retry/cluster-size stable), no rand().
+    Sources absent from the budget map are dropped (explicit mixes
+    only). Returns (doc_id, source, n_tokens).
+
+    Scale shape: one partial-aggregated per-source total (few keys, so
+    the final agg is tiny), broadcast back onto the corpus scan; the
+    keep decision is pure column math. The corpus never shuffles.
+    """
+    spark = df.sparkSession
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("total"))
+    budgets = spark.createDataFrame(
+        [(s, int(b)) for s, b in sorted(token_budgets.items())],
+        "source string, budget long",
+    )
+    per_source = totals.join(budgets, "source")
+    frac = F.least(F.lit(1.0), F.col("budget") / F.col("total"))
+    threshold = F.floor(frac * F.lit(1_000_000)).cast("long")
+    keep = (
+        ((F.col("doc_id") % 1000003) * 2654435761) % 1_000_000 < threshold
+    )
+    return (
+        toks.join(F.broadcast(per_source), "source")
+        .filter(keep)
+        .select("doc_id", "source", "n_tokens")
     )
 
 

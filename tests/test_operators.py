@@ -757,3 +757,32 @@ def test_repetition_metrics_gopher_rules(spark):
     assert got[2] == (0.2, 0.0)
     assert got[3] == (0.0, 0.0)
     assert got[4] == (1.0, 0.0)
+
+
+def test_mix_by_token_budget(spark):
+    """Token-budget mixing: per-source keep fraction = min(1, budget /
+    total_tokens); deterministic hash selection; unbudgeted sources
+    dropped; a budget above the source total keeps every doc."""
+    from pyspark.sql import functions as F
+    from aida_spark.operators.textops import mix_by_token_budget
+
+    rows = [
+        (i, "a" if i < 40 else ("b" if i < 60 else "c"),
+         "ten words of text padding out this tiny document here")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # a: 40 docs x 10 tokens = 400 total, budget 100 -> keep ~25%
+    # b: budget above total -> all 20 docs kept
+    # c: unbudgeted -> dropped
+    out = mix_by_token_budget(df, {"a": 100, "b": 10_000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert set(by_src) == {"a", "b"}
+    assert len(by_src["b"]) == 20
+    a_tokens = 10 * len(by_src["a"])
+    assert 0 < a_tokens <= 200  # ~budget, doc-granularity slack
+    # deterministic: same selection on a second call
+    out2 = mix_by_token_budget(df, {"a": 100, "b": 10_000}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
