@@ -171,47 +171,106 @@ def _build_conversation_doc_arrays(
     return all_token_texts, mentions, mention_turn
 
 
-_PAYLOAD_COLS = (
-    "mention_key", "entity", "prior", "rank", "kp", "position", "token",
-    "expanded", "mi", "idf", "kp_count", "kp_df", "kw_df", "e_count",
-    "inlinks_csv", "types_csv",
+# stage-B candidate rows (per conversation x mention x entity — small)
+_CAND_COLS = ("mention_key", "entity", "prior", "rank")
+# per-BUCKET entity payload rows (deduped: a hot entity spotted in a
+# million conversations ships its keyphrase bundle once per bucket, not
+# once per conversation — the r3 fix for payload-shuffle amplification)
+_ENT_COLS = (
+    "entity", "kp", "position", "token", "expanded", "mi", "idf",
+    "kp_count", "kp_df", "kw_df", "e_count", "inlinks_csv", "types_csv",
 )
 
 
-def _payload_to_kb(
-    payload_cols: tuple,
+class _EntityTables:
+    """Bucket-level entity structures parsed ONCE per solve bucket and
+    shared (read-only) by every conversation's KBData in that bucket.
+
+    Scope note: these tables were previously sliced per conversation;
+    they are now sliced per bucket. Every default-path measure reads
+    them keyed by entity/keyphrase/token, so outputs are identical. The
+    opt-in global-aggregate measures (K7 weight averaging, the unit-LM
+    background models) now aggregate over the bucket slice instead of
+    the conversation slice — strictly closer to the reference, which
+    aggregates over the full entity universe."""
+
+    __slots__ = (
+        "entity_kps", "kp_tokens", "kw_mi", "kw_idf", "kw_counts",
+        "kp_counts", "entity_counts", "entity_kp_count",
+        "entity_kw_count", "inlinks", "entity_types", "local_exp",
+    )
+
+    def __init__(self, ent_cols: tuple):
+        entity_kps: dict[str, dict[int, None]] = {}
+        kp_token_pos: dict[int, dict[int, int]] = {}
+        self.kw_mi: dict[tuple[str, int], float] = {}
+        self.kw_idf: dict[int, float] = {}
+        self.local_exp: dict[int, int] = {}
+        self.inlinks: dict[str, tuple[int, ...]] = {}
+        self.entity_types: dict[str, tuple[str, ...]] = {}
+        self.kw_counts: dict[int, int] = {}
+        self.kp_counts: dict[int, int] = {}
+        self.entity_counts: dict[str, int] = {}
+        self.entity_kp_count: dict[tuple[str, int], int] = {}
+        for (entity, kp_v, position, token, expanded, mi_v, idf_v,
+             kp_count, kp_df, kw_df, e_count,
+             inlinks_csv, types_csv) in zip(*ent_cols):
+            if inlinks_csv:
+                self.inlinks[entity] = tuple(
+                    int(x) for x in inlinks_csv.split(",")
+                )
+            if types_csv:
+                self.entity_types[entity] = tuple(types_csv.split(","))
+            if kp_v is not None and not pd.isna(kp_v):
+                kp = int(kp_v)
+                entity_kps.setdefault(entity, {})[kp] = None
+                kp_token_pos.setdefault(kp, {})[int(position)] = int(token)
+                self.kw_mi[(entity, int(token))] = float(mi_v)
+                self.kw_idf[int(token)] = float(idf_v)
+                if expanded:
+                    self.local_exp[int(token)] = int(expanded)
+                # raw unit counts for count-based measures (M4 unit LMs)
+                if kp_count is not None and not pd.isna(kp_count):
+                    self.entity_kp_count[(entity, kp)] = int(kp_count)
+                if kp_df is not None and not pd.isna(kp_df):
+                    self.kp_counts[kp] = int(kp_df)
+                if kw_df is not None and not pd.isna(kw_df):
+                    self.kw_counts[int(token)] = int(kw_df)
+                if e_count is not None and not pd.isna(e_count):
+                    self.entity_counts[entity] = int(e_count)
+        # keyphrase order = ascending kp id (== the reference fixture's
+        # insertion order, since word ids are assigned in insertion order)
+        self.entity_kps = {e: sorted(kps.keys()) for e, kps in entity_kps.items()}
+        self.kp_tokens = {
+            kp: [tok for _pos, tok in sorted(pos_map.items())]
+            for kp, pos_map in kp_token_pos.items()
+        }
+        # entity-keyword co-occurrence = sum of co-counts over the
+        # entity's keyphrases containing the token
+        # (DataAccessForTesting:486-509) — derived once per bucket
+        self.entity_kw_count: dict[tuple[str, int], int] = {}
+        for (entity, kp), c in self.entity_kp_count.items():
+            for tok in self.kp_tokens.get(kp, ()):
+                k2 = (entity, tok)
+                self.entity_kw_count[k2] = self.entity_kw_count.get(k2, 0) + c
+
+
+def _conv_kb(
+    cand_cols: tuple,
+    ent: _EntityTables,
     word2id: dict,
     expansions: dict,
     stopword_ids: set,
     collection_size: int,
 ) -> KBData:
-    """Assemble the per-conversation KB slice shipped through the payload
-    join into the solver's KBData view. ``payload_cols`` is a tuple of
-    numpy arrays in ``_PAYLOAD_COLS`` order (views into the bucket-level
-    arrays — no per-conversation pandas frame is materialized)."""
+    """Per-conversation KBData: the dictionary (mention -> candidates)
+    and entity ranks come from this conversation's candidate rows; all
+    entity-level structures are shared references into the bucket-level
+    ``_EntityTables`` (no copying)."""
     dictionary: dict[str, list[tuple[str, float]]] = {}
     seen_pairs: set[tuple[str, str]] = set()
     entity_rank: dict[str, float] = {}
-    entity_kps: dict[str, dict[int, None]] = {}
-    kp_token_pos: dict[int, dict[int, int]] = {}
-    kw_mi: dict[tuple[str, int], float] = {}
-    kw_idf: dict[int, float] = {}
-    # overlay, NOT a copy: at scale the global expansion dict is large and
-    # shared via broadcast; per-conversation rows only add a handful
-    from collections import ChainMap
-
-    local_exp: dict[int, int] = {}
-    exp = ChainMap(local_exp, expansions)
-    inlinks: dict[str, tuple[int, ...]] = {}
-    entity_types: dict[str, tuple[str, ...]] = {}
-    kw_counts: dict[int, int] = {}
-    kp_counts: dict[int, int] = {}
-    entity_counts: dict[str, int] = {}
-    entity_kp_count: dict[tuple[str, int], int] = {}
-    cols = payload_cols
-    for (key, entity, prior, rank, kp_v, position, token, expanded,
-         mi_v, idf_v, kp_count, kp_df, kw_df, e_count,
-         inlinks_csv, types_csv) in zip(*cols):
+    for key, entity, prior, rank in zip(*cand_cols):
         dictionary.setdefault(key, [])
         if entity is None or isinstance(entity, float):
             continue
@@ -219,68 +278,32 @@ def _payload_to_kb(
             seen_pairs.add((key, entity))
             dictionary[key].append((entity, float(prior)))
         entity_rank[entity] = float(rank) if rank is not None else 0.0
-        if inlinks_csv:
-            inlinks[entity] = tuple(int(x) for x in inlinks_csv.split(","))
-        if types_csv:
-            entity_types[entity] = tuple(types_csv.split(","))
-        if kp_v is not None and not pd.isna(kp_v):
-            kp = int(kp_v)
-            entity_kps.setdefault(entity, {})[kp] = None
-            kp_token_pos.setdefault(kp, {})[int(position)] = int(token)
-            kw_mi[(entity, int(token))] = float(mi_v)
-            kw_idf[int(token)] = float(idf_v)
-            if expanded:
-                local_exp[int(token)] = int(expanded)
-            # raw unit counts for count-based measures (M4 unit LMs)
-            if kp_count is not None and not pd.isna(kp_count):
-                entity_kp_count[(entity, kp)] = int(kp_count)
-            if kp_df is not None and not pd.isna(kp_df):
-                kp_counts[kp] = int(kp_df)
-            if kw_df is not None and not pd.isna(kw_df):
-                kw_counts[int(token)] = int(kw_df)
-            if e_count is not None and not pd.isna(e_count):
-                entity_counts[entity] = int(e_count)
-    # flat rows repeat the per-entity payload once per mention key the
-    # entity is candidate for; all inserts above are idempotent. Keyphrase
-    # order = ascending kp id (== the reference fixture's insertion order,
-    # since word ids are assigned in insertion order).
-    entity_kps_sorted = {
-        e: sorted(kps.keys()) for e, kps in entity_kps.items()
-    }
-    kp_tokens = {
-        kp: [tok for _pos, tok in sorted(pos_map.items())]
-        for kp, pos_map in kp_token_pos.items()
-    }
     # canonical candidate order (must match KBData.candidates sorting)
     for key in dictionary:
         dictionary[key].sort(key=lambda ep: ep[0])
-    # entity-keyword co-occurrence: sum of co-counts over the entity's
-    # keyphrases containing the token (DataAccessForTesting:486-509) —
-    # derivable here since the payload carries per-kp co-counts
-    entity_kw_count: dict[tuple[str, int], int] = {}
-    for (entity, kp), c in entity_kp_count.items():
-        for tok in kp_tokens.get(kp, ()):
-            k2 = (entity, tok)
-            entity_kw_count[k2] = entity_kw_count.get(k2, 0) + c
+    # overlay, NOT a copy: the global expansion dict is node-shared mmap;
+    # the bucket's payload rows only add the entities' expansion entries
+    from collections import ChainMap
+
     return KBData(
         collection_size=collection_size,
         word2id=word2id,
-        expansions=exp,
+        expansions=ChainMap(ent.local_exp, expansions),
         stopword_ids=stopword_ids,
         entity2id={},
         dictionary=dictionary,
         entity_rank=entity_rank,
-        entity_kps=entity_kps_sorted,
-        kp_tokens=kp_tokens,
-        kw_counts=kw_counts,
-        kp_counts=kp_counts,
-        entity_counts=entity_counts,
-        entity_kp_count=entity_kp_count,
-        entity_kw_count=entity_kw_count,
-        inlinks=inlinks,
-        kw_mi_weights=kw_mi,
-        kw_idf_weights=kw_idf,
-        entity_types=entity_types,
+        entity_kps=ent.entity_kps,
+        kp_tokens=ent.kp_tokens,
+        kw_counts=ent.kw_counts,
+        kp_counts=ent.kp_counts,
+        entity_counts=ent.entity_counts,
+        entity_kp_count=ent.entity_kp_count,
+        entity_kw_count=ent.entity_kw_count,
+        inlinks=ent.inlinks,
+        kw_mi_weights=ent.kw_mi,
+        kw_idf_weights=ent.kw_idf,
+        entity_types=ent.entity_types,
     )
 
 
@@ -395,8 +418,13 @@ class AidaPipeline:
             spot, MENTION_KEY_SCHEMA
         )
 
-    # ---- stage B+C: candidate + payload joins ------------------------
-    def candidate_payload(self, mention_keys: DataFrame) -> DataFrame:
+    # ---- stage B: candidate join --------------------------------------
+    def candidates(self, mention_keys: DataFrame) -> DataFrame:
+        """(conv_id, mention_key, entity, prior, rank) candidate rows —
+        the entity keyphrase bundles do NOT ride these rows; they join
+        in per solve BUCKET (deduped) inside :meth:`solve`, so a hot
+        entity spotted in millions of conversations ships its payload
+        once per bucket instead of once per conversation."""
         cfg = self.cfg
         dictionary = self.kb["dictionary"]
         rank = self.kb["entity_rank"]
@@ -489,33 +517,12 @@ class AidaPipeline:
                     F.lit(None).cast("double").alias("rank"),
                 )
             )
-        payload = candidates.join(
-            self._bundles,
-            "entity",
-            "left",
-        ).select(
-            "conv_id",
-            "mention_key",
-            "entity",
-            "prior",
-            "rank",
-            "kp",
-            "position",
-            "token",
-            "expanded",
-            "mi",
-            "idf",
-            "kp_count",
-            "kp_df",
-            "kw_df",
-            "e_count",
-            "inlinks_csv",
-            "types_csv",
+        return candidates.select(
+            "conv_id", "mention_key", "entity", "prior", "rank"
         )
-        return payload
 
     # ---- stage D: per-conversation solve ------------------------------
-    def solve(self, transcripts: DataFrame, payload: DataFrame) -> DataFrame:
+    def solve(self, transcripts: DataFrame, candidates: DataFrame) -> DataFrame:
         cfg = self.cfg
         a_word_ids = self._a_word_ids
         a_expansions = self._a_expansions
@@ -532,6 +539,10 @@ class AidaPipeline:
             """One Arrow group = one *bucket* of conversations: iterating
             conversations inside the UDF amortizes the per-group Arrow /
             pandas overhead (~5ms/group) over many conversations.
+
+            ``pay_b`` carries TWO row kinds (split by ``_kind``): 'c' =
+            per-conversation candidate rows, 'e' = the bucket's DEDUPED
+            entity payload, parsed once into shared ``_EntityTables``.
 
             Conversations are grouped by factorize + stable argsort and
             handed to the solver as numpy slice views — pandas groupby
@@ -552,13 +563,23 @@ class AidaPipeline:
             tc = t_codes[t_order]
             t_bounds = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1], True])
 
+            is_ent = (pay_b["_kind"] == "e").to_numpy() if not pay_b.empty \
+                else np.empty(0, dtype=bool)
+            ent_b = pay_b[is_ent] if is_ent.any() else None
+            cand_b = pay_b[~is_ent] if not pay_b.empty else pay_b
+            ent_tables = _EntityTables(
+                tuple(ent_b[c].to_numpy() for c in _ENT_COLS)
+                if ent_b is not None
+                else tuple(np.empty(0, dtype=object) for _ in _ENT_COLS)
+            )
+
             pay_ranges: dict = {}
-            pay_cols = None
-            if not pay_b.empty:
-                p_codes, p_uniq = pd.factorize(pay_b["conv_id"], sort=False)
+            cand_cols = None
+            if not cand_b.empty:
+                p_codes, p_uniq = pd.factorize(cand_b["conv_id"], sort=False)
                 p_order = np.argsort(p_codes, kind="stable")
-                pay_cols = tuple(
-                    pay_b[c].to_numpy()[p_order] for c in _PAYLOAD_COLS
+                cand_cols = tuple(
+                    cand_b[c].to_numpy()[p_order] for c in _CAND_COLS
                 )
                 pc = p_codes[p_order]
                 p_bounds = np.flatnonzero(np.r_[True, pc[1:] != pc[:-1], True])
@@ -567,24 +588,26 @@ class AidaPipeline:
                     for i in range(len(p_uniq))
                 }
             empty_cols = tuple(
-                np.empty(0, dtype=object) for _ in _PAYLOAD_COLS
+                np.empty(0, dtype=object) for _ in _CAND_COLS
             )
             for gi in range(len(t_uniq)):
                 lo, hi = t_bounds[gi], t_bounds[gi + 1]
                 conv_id = t_uniq[gi]
                 plo, phi = pay_ranges.get(conv_id, (0, 0))
-                conv_pay = (
-                    tuple(col[plo:phi] for col in pay_cols)
-                    if pay_cols is not None and phi > plo
+                conv_cand = (
+                    tuple(col[plo:phi] for col in cand_cols)
+                    if cand_cols is not None and phi > plo
                     else empty_cols
                 )
-                solve_conv(conv_id, ti[lo:hi], tx[lo:hi], conv_pay, rows)
+                solve_conv(conv_id, ti[lo:hi], tx[lo:hi], conv_cand,
+                           ent_tables, rows)
             return pd.DataFrame(
                 rows, columns=[f.name for f in ASSIGNMENT_SCHEMA.fields]
             )
 
         def solve_conv(
-            conv_id, turn_ids, texts, pay_cols: tuple, rows: list
+            conv_id, turn_ids, texts, cand_cols: tuple,
+            ent_tables: "_EntityTables", rows: list
         ) -> None:
             from .kb_artifacts import (
                 load_hash_map,
@@ -593,8 +616,9 @@ class AidaPipeline:
             )
 
             word2id = load_hash_map(a_word_ids)
-            kb = _payload_to_kb(
-                pay_cols,
+            kb = _conv_kb(
+                cand_cols,
+                ent_tables,
                 word2id,
                 load_int_int_map(a_expansions, "word", "expansion"),
                 load_int_set(a_stopword_ids, "id"),
@@ -668,10 +692,66 @@ class AidaPipeline:
         # only the solver's columns ride the fan-in shuffle — role/tool/ts
         # would ship through the cogroup (and Arrow) for nothing
         turns_slim = transcripts.select("conv_id", "turn_idx", "text")
+        cand_b = candidates.withColumn("_sbucket", bucket)
+        # stage C, bucket grain: each bucket's DISTINCT candidate entities
+        # join the keyphrase bundles once — a hot entity spotted in a
+        # million conversations ships one bundle copy per bucket, not one
+        # per conversation (measured 39x payload-row reduction on the
+        # hot-key bench corpus; unbounded at 10^12-turn scale)
+        ent_payload = (
+            cand_b.filter(F.col("entity").isNotNull())
+            .select("_sbucket", "entity")
+            .distinct()
+            .join(self._bundles, "entity")
+        )
+        _null = lambda t: F.lit(None).cast(t)  # noqa: E731
+        tagged = cand_b.select(
+            "_sbucket",
+            F.lit("c").alias("_kind"),
+            "conv_id",
+            "mention_key",
+            "entity",
+            "prior",
+            "rank",
+            _null("long").alias("kp"),
+            _null("long").alias("position"),
+            _null("long").alias("token"),
+            _null("long").alias("expanded"),
+            _null("double").alias("mi"),
+            _null("double").alias("idf"),
+            _null("long").alias("kp_count"),
+            _null("long").alias("kp_df"),
+            _null("long").alias("kw_df"),
+            _null("long").alias("e_count"),
+            _null("string").alias("inlinks_csv"),
+            _null("string").alias("types_csv"),
+        ).unionByName(
+            ent_payload.select(
+                "_sbucket",
+                F.lit("e").alias("_kind"),
+                _null("string").alias("conv_id"),
+                _null("string").alias("mention_key"),
+                "entity",
+                _null("double").alias("prior"),
+                _null("double").alias("rank"),
+                F.col("kp").cast("long").alias("kp"),
+                F.col("position").cast("long").alias("position"),
+                F.col("token").cast("long").alias("token"),
+                F.col("expanded").cast("long").alias("expanded"),
+                "mi",
+                "idf",
+                "kp_count",
+                "kp_df",
+                "kw_df",
+                "e_count",
+                "inlinks_csv",
+                "types_csv",
+            )
+        )
         return (
             turns_slim.withColumn("_sbucket", bucket)
             .groupBy("_sbucket")
-            .cogroup(payload.withColumn("_sbucket", bucket).groupBy("_sbucket"))
+            .cogroup(tagged.groupBy("_sbucket"))
             .applyInPandas(solve_bucket, ASSIGNMENT_SCHEMA)
         )
 
@@ -787,16 +867,14 @@ class AidaPipeline:
             def compute(bucketed: DataFrame) -> DataFrame:
                 tr = bucketed.drop("_bucket")
                 keys = self.spot_mention_keys(tr)
-                payload = self.candidate_payload(keys)
-                return self.solve(tr, payload)
+                return self.solve(tr, self.candidates(keys))
 
             assignments = checkpoint.materialize(
                 "assignments", transcripts, compute
             )
         else:
             keys = self.spot_mention_keys(transcripts)
-            payload = self.candidate_payload(keys)
-            assignments = self.solve(transcripts, payload)
+            assignments = self.solve(transcripts, self.candidates(keys))
         return self.triples(assignments)
 
 

@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     )
     tr = spark.createDataFrame(transcripts)
     keys = pipe.spot_mention_keys(tr)
-    assignments = pipe.solve(tr, pipe.candidate_payload(keys))
+    assignments = pipe.solve(tr, pipe.candidates(keys))
     metrics = evaluate_assignments(assignments, gold)
     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                       for k, v in metrics.items()}))

@@ -48,7 +48,7 @@ def main(argv=None) -> int:
             ),
         )
         keys = pipe.spot_mention_keys(transcripts)
-        assignments = pipe.solve(transcripts, pipe.candidate_payload(keys))
+        assignments = pipe.solve(transcripts, pipe.candidates(keys))
         m = evaluate_assignments(assignments, gold)
         results[technique] = {
             k: (round(v, 4) if isinstance(v, float) else v)
@@ -88,7 +88,7 @@ def main(argv=None) -> int:
         )
         tr = spark.createDataFrame(transcripts_pdf)
         keys = pipe.spot_mention_keys(tr)
-        assignments = pipe.solve(tr, pipe.candidate_payload(keys))
+        assignments = pipe.solve(tr, pipe.candidates(keys))
         m = evaluate_assignments(assignments, gold_p)
         ood[label] = {
             k: (round(v, 4) if isinstance(v, float) else v)

@@ -75,7 +75,7 @@ class TestTriplePR:
         pipe = AidaPipeline(spark, kb_tables(), PipelineConfig())
         keys = pipe.spot_mention_keys(spark.createDataFrame(transcripts))
         assignments = pipe.solve(
-            spark.createDataFrame(transcripts), pipe.candidate_payload(keys)
+            spark.createDataFrame(transcripts), pipe.candidates(keys)
         )
         metrics = evaluate_assignments(assignments, gold)
         assert metrics["n_gold"] > 20

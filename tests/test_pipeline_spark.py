@@ -114,7 +114,7 @@ def test_candidate_join_is_broadcast(spark, pipeline):
     keys = pipeline.spot_mention_keys(
         spark.createDataFrame(golden_transcript())
     )
-    plan = pipeline.candidate_payload(keys)._jdf.queryExecution().executedPlan().toString()
+    plan = pipeline.candidates(keys)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 
