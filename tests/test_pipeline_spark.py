@@ -543,3 +543,35 @@ def test_pipeline_close_releases_resources(spark):
     assert pipe._bundles.storageLevel.useMemory
     pipe.close()
     assert not pipe._bundles.storageLevel.useMemory
+
+
+def test_bucket_shared_entity_tables_do_not_leak_across_conversations(spark):
+    """r3 payload design: all conversations in a solve bucket share one
+    read-only entity-table slice. Solving two conversations with
+    DIFFERENT entity sets in the SAME bucket (solve_buckets=1) must give
+    exactly the triples each produces when solved alone — the shared
+    tables must not let one conversation's entities influence another's
+    scores or candidates."""
+    import datetime as dt
+
+    rows_a = [("ca", 0, "user",
+               "When [[Page]] played Kashmir at Knebworth.", "",
+               dt.datetime(2026, 1, 1))]
+    rows_b = [("cb", 0, "user",
+               "Les Paul guitars are famous.", "",
+               dt.datetime(2026, 1, 1))]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def triples(rows, buckets):
+        p = AidaPipeline(
+            spark, kb_tables(), PipelineConfig(solve_buckets=buckets)
+        )
+        df = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+        return {
+            (r["subj"], r["obj"], round(r["score"], 10))
+            for r in p.run(df).collect()
+        }
+
+    together = triples(rows_a + rows_b, buckets=1)
+    alone = triples(rows_a, buckets=1) | triples(rows_b, buckets=1)
+    assert together == alone
