@@ -786,3 +786,17 @@ def test_mix_by_token_budget(spark):
     # deterministic: same selection on a second call
     out2 = mix_by_token_budget(df, {"a": 100, "b": 10_000}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_driver_contract_every_query_has_an_oracle():
+    """The correctness gate is only as wide as the oracle map: every
+    queries() entry must have an oracle_sql() entry and vice versa (32
+    as of round 3 — new operators must ship with their oracle)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __spark_entry__ as e
+
+    q = set(e.queries())
+    o = set(e.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
+    assert len(q) >= 32
