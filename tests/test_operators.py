@@ -799,4 +799,4 @@ def test_driver_contract_every_query_has_an_oracle():
     q = set(e.queries())
     o = set(e.oracle_sql())
     assert q == o, (sorted(q - o), sorted(o - q))
-    assert len(q) >= 32
+    assert len(q) >= 33

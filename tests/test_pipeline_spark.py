@@ -575,3 +575,51 @@ def test_bucket_shared_entity_tables_do_not_leak_across_conversations(spark):
     together = triples(rows_a + rows_b, buckets=1)
     alone = triples(rows_a, buckets=1) | triples(rows_b, buckets=1)
     assert together == alone
+
+
+def test_kg_materialize_views(spark, pipeline):
+    """Graph-materialize step: co-occurrence edges and entity stats over
+    the pipeline's triples match a pure-python recomputation on a
+    deterministic multi-conversation corpus."""
+    from collections import defaultdict
+    from aida_spark.operators.kgviews import (
+        entity_cooccurrence,
+        entity_mention_stats,
+    )
+
+    corpus = synth_transcripts(12, 6, seed=21)
+    triples = pipeline.run(spark.createDataFrame(corpus)).persist()
+    rows = [
+        (r["subj"].split("/", 1)[0], r["obj"], r["mention"])
+        for r in triples.collect()
+    ]
+
+    conv_ents = defaultdict(set)
+    for conv, ent, _m in rows:
+        conv_ents[conv].add(ent)
+    exp_edges = defaultdict(int)
+    for ents in conv_ents.values():
+        es = sorted(ents)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                exp_edges[(es[i], es[j])] += 1
+    got_edges = {
+        (r["entity_a"], r["entity_b"]): r["n_convs"]
+        for r in entity_cooccurrence(triples).collect()
+    }
+    assert got_edges == dict(exp_edges) and got_edges
+
+    exp_stats = defaultdict(lambda: [0, set(), set()])
+    for conv, ent, m in rows:
+        s = exp_stats[ent]
+        s[0] += 1
+        s[1].add(conv)
+        s[2].add(m)
+    got_stats = {
+        r["entity"]: (r["n_mentions"], r["n_convs"], r["n_surfaces"])
+        for r in entity_mention_stats(triples).collect()
+    }
+    assert got_stats == {
+        e: (n, len(cs), len(ms)) for e, (n, cs, ms) in exp_stats.items()
+    }
+    triples.unpersist()
