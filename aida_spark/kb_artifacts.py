@@ -28,9 +28,23 @@ Spark's process model:
   key/value arrays, no hashing, no collisions.
 
 Hash-membership false positives (p = n/2^64 per probe, ~5e-13 at 10M
-keys) can only add a *no-candidate* spotted mention; the downstream
-dictionary equi-join finds nothing for it, it resolves to OOKBE and emits
-no triple — output semantics are unaffected (see pipeline.py stage A).
+keys) USUALLY only add a *no-candidate* spotted mention: the downstream
+dictionary equi-join finds nothing for it, it resolves to OOKBE and
+emits no triple. Two sharper failure modes exist and are accepted at
+their measured odds rather than zero (at the 10^12-turn design point the
+EXPECTED number of affected mentions is O(1) corpus-wide):
+
+- spotting is longest-match-wins (core/text.py), so a false positive on
+  a LONGER n-gram shadows a genuine shorter dictionary key inside it —
+  that real mention is lost for the conversation, not merely turned into
+  an extra OOKBE;
+- a ``CompactHashMap`` word->id key collision silently returns the other
+  word's id (two distinct context words conflated for scoring).
+
+Deployments that cannot accept either can re-verify accepted spans
+against the exact string dictionary (the equi-join in stage B already
+carries the true mention strings) before letting a longer match suppress
+shorter ones — at the cost of shipping candidate strings into stage A.
 
 - ``publish_table`` writes a table as a small number of Parquet parts
   (the write runs on executors) and registers each with
@@ -143,11 +157,22 @@ def publish_table(
     return names[0] if len(names) == 1 else names
 
 
-def _hash_udf():
+def _hash_udf(first_word: bool = False):
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
     def h(col: pd.Series) -> pd.Series:
+        if first_word:
+            # EXACTLY core.text.first_words_upper's rule, evaluated in
+            # Python: k.split(" ", 1)[0].upper(). Publish and probe must
+            # share ONE case-mapping implementation — JVM
+            # String.toUpperCase is default-locale-sensitive and its
+            # Unicode mapping can diverge from Python's (Turkish-locale
+            # 'i'->'İ', 'ß'->'SS' vs 'ẞ'), and a publish/probe hash
+            # mismatch here is a silent false NEGATIVE (the mention is
+            # never spotted), unlike the benign false-positive direction
+            # of hash collisions.
+            return col.map(lambda s: hash64(s.split(" ", 1)[0].upper()))
         return col.map(hash64)
 
     return h
@@ -163,14 +188,15 @@ def publish_hash_set(
 ):
     """Publish the distinct blake2b-64 hashes of ``df[col]`` (optionally
     of each value's uppercased first word — the spotting prefilter). The
-    artifact contains ONLY int64 hashes: workers never see the strings."""
+    artifact contains ONLY int64 hashes: workers never see the strings.
+    The first-word transform runs inside the same Python UDF that hashes,
+    so the publish-time case mapping is bit-identical to the probe-time
+    one (``core.text.first_words_upper``) for all of Unicode."""
     from pyspark.sql import functions as F
 
-    expr = F.col(col)
-    if first_word:
-        # must match core.text.first_words_upper: k.split(" ", 1)[0].upper()
-        expr = F.upper(F.split(expr, " ", 2).getItem(0))
-    hashes = df.select(_hash_udf()(expr).alias("h")).distinct()
+    hashes = df.select(
+        _hash_udf(first_word=first_word)(F.col(col)).alias("h")
+    ).distinct()
     return publish_table(spark, hashes, dir_hint, n_parts=n_parts)
 
 

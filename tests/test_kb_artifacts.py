@@ -72,6 +72,30 @@ def test_first_word_set_matches_python_rule(published):
     assert "PAUL" not in fw  # second word, not a first word
 
 
+def test_first_word_hash_non_ascii_locale_parity(spark):
+    """Publish-time first-word hashing must share Python's Unicode case
+    mapping with the probe side (core.text.first_words_upper) — the
+    historical JVM F.upper path could diverge under non-default locales
+    ('i'->'İ' on a Turkish-locale JVM) or multi-char mappings ('ß'->'SS'),
+    and a publish/probe mismatch is a silent spotting false negative."""
+    from aida_spark.core.text import first_words_upper
+    from aida_spark.kb_artifacts import load_hash_set, publish_hash_set
+
+    names = [
+        "istanbul city",          # dotted-i: Turkish-locale JVM upper -> İ
+        "ßora festival",          # Python 'ß'.upper() == 'SS'
+        "münchen hbf",            # ü -> Ü
+        "ǳungle book",            # U+01F3 ǳ -> U+01F1 Ǳ (titlecase trap)
+        "ﬁord tour",              # ligature ﬁ -> FI (multi-char)
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "mention string")
+    art = publish_hash_set(spark, df, "mention", first_word=True)
+    fw = load_hash_set(art)
+    for w in first_words_upper(names):
+        assert w in fw, w
+    assert len(fw) == len(first_words_upper(names))
+
+
 def test_hash_map_get(published):
     from aida_spark.kb_artifacts import load_hash_map
 
