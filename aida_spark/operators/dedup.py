@@ -89,6 +89,62 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return (win * powers).sum(axis=1)
 
 
+# splitmix64 avalanche constants (public-domain constants from Steele et
+# al.'s SplitMix64 finalizer — spread the polynomial hash's low-entropy
+# high bits of short tokens across all 64 bits, which SimHash's per-bit
+# votes require)
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _token_hashes_flat(flat_tokens: list[str]) -> np.ndarray:
+    """ENGINE-OWNED deterministic 64-bit token hash, vectorized over a
+    flat token list (one numpy pass per Arrow batch, no per-token Python
+    hashing).
+
+    Definition (also implemented independently, scalar, by
+    tools/pin_simhash_oracle.py and the cross-check test — keep in sync):
+
+        h0(t) = sum_j bytes(t)[j] * B^(L-1-j)   mod 2^64, B = FNV prime
+        h(t)  = splitmix64_mix(h0)              (xor-shift-multiply x3)
+
+    Owning the hash (instead of pandas' fixed-key SipHash) makes SimHash
+    output invariant to pandas versions — the pinned VALUES oracles are
+    permanent, not per-library-build.
+
+    Vectorization: tokens are NUL-joined into one utf-8 blob (tokens
+    cannot contain NUL — the tokenizer treats NUL as whitespace), byte
+    exponents come from a shared power table, and per-token sums are one
+    ``np.add.reduceat``. utf-8 encodes U+0000 only as 0x00, so separator
+    detection is exact."""
+    if not flat_tokens:
+        return np.empty(0, dtype=np.uint64)
+    blob = "\x00".join(flat_tokens).encode("utf-8")
+    data = np.frombuffer(blob, dtype=np.uint8)
+    seps = np.flatnonzero(data == 0)
+    starts = np.concatenate(([0], seps + 1))
+    ends = np.concatenate((seps, [len(data)]))
+    lens = ends - starts  # utf-8 byte length per token, all >= 1
+    idx = np.flatnonzero(data != 0)  # non-separator byte positions
+    exp = np.repeat(ends, lens) - 1 - idx  # per-byte exponent, 0..L-1
+    max_len = int(lens.max())
+    pw = np.empty(max_len, dtype=np.uint64)
+    pw[0] = 1
+    if max_len > 1:
+        np.multiply.accumulate(
+            np.full(max_len - 1, _SHINGLE_BASE, dtype=np.uint64), out=pw[1:]
+        )
+    contrib = data[idx].astype(np.uint64) * pw[exp]
+    bounds = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    h = np.add.reduceat(contrib, bounds).astype(np.uint64)
+    h ^= h >> np.uint64(30)
+    h *= _MIX_C1
+    h ^= h >> np.uint64(27)
+    h *= _MIX_C2
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -241,31 +297,33 @@ def simhash(
     """64-bit SimHash over whitespace tokens (64-bit hash per token,
     bitwise majority vote) in one narrow pandas-UDF pass.
 
-    Token hashing is batch-vectorized: every token of the whole Arrow
-    batch is hashed in ONE ``pd.util.hash_array`` call (C-implemented
-    SipHash with pandas' fixed default key — deterministic for a given
-    pandas build; the VALUES-pinned oracles catch any library drift), and
-    the per-document bit votes are segment sums (``np.add.reduceat``), so
-    no per-token or per-document Python-level hashing remains. Duplicate
-    tokens vote once each (multiset semantics, as in Charikar's original
-    formulation over weighted features)."""
+    Token hashing is batch-vectorized with the ENGINE-OWNED hash
+    (``_token_hashes_flat``: polynomial over utf-8 bytes + splitmix64
+    avalanche — one numpy pass over the whole Arrow batch's tokens), so
+    output is deterministic across platforms AND library versions (the
+    r3 ``pd.util.hash_array`` path was stable only per pandas build).
+    NUL characters are treated as whitespace by the tokenizer. Per-doc
+    bit votes are segment sums (``np.add.reduceat``); no per-token or
+    per-document Python-level hashing remains. Duplicate tokens vote
+    once each (multiset semantics, as in Charikar's original formulation
+    over weighted features)."""
 
     bit_positions = np.arange(64, dtype=np.uint64)
 
     @F.pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        toks_per_row = [(t or "").lower().split() for t in texts]
+        toks_per_row = [
+            (t or "").lower().replace("\x00", " ").split() for t in texts
+        ]
         counts = np.array([len(r) for r in toks_per_row], dtype=np.int64)
         out = np.zeros(len(texts), dtype=np.int64)
         total = int(counts.sum())
         if total == 0:
             return pd.Series(out)
-        flat = np.empty(total, dtype=object)
-        pos = 0
+        flat: list[str] = []
         for row in toks_per_row:
-            flat[pos : pos + len(row)] = row
-            pos += len(row)
-        hashes = pd.util.hash_array(flat)  # uint64, one C call per batch
+            flat.extend(row)
+        hashes = _token_hashes_flat(flat)  # uint64, vectorized
         bits = ((hashes[:, None] >> bit_positions) & np.uint64(1)).astype(
             np.int64
         )  # (total_tokens, 64)

@@ -420,12 +420,12 @@ def test_ivf_centroids_cover_sorted_clusters(spark):
 
 
 def test_simhash_matches_independent_implementation(spark):
-    """The vectorized (flatten + reduceat + bit-pack) simhash must equal a
-    naive per-token/per-bit second implementation that shares only the
-    hash primitive — guarding the batch-segmentation logic (the same
+    """The vectorized (NUL-join + reduceat + bit-pack) simhash must equal
+    a naive pure-int second implementation of the ENGINE-OWNED hash
+    definition (Horner polynomial over utf-8 bytes + splitmix64 — no
+    numpy, no code shared with the operator), guarding both the
+    batch-segmentation logic and the hash definition itself (the same
     cross-check gates tools/pin_simhash_oracle.py before re-pinning)."""
-    import numpy as np
-    import pandas as pd
     from aida_spark.operators.dedup import simhash
 
     texts = [
@@ -433,21 +433,36 @@ def test_simhash_matches_independent_implementation(spark):
         "",
         "   ",
         "one",
+        "a i xy",  # 1-2 byte tokens: avalanche must spread the high bits
         "Repeated repeated REPEATED tokens tokens vote as a multiset",
         "unicode tökens — ümlauts and dashes",
+        "nul\x00separated",  # NUL is treated as whitespace
     ]
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
     got = {r["id"]: r["simhash"] for r in simhash(df).collect()}
 
+    M = (1 << 64) - 1
+
+    def token_hash(tok: str) -> int:
+        h = 0
+        for byte in tok.encode("utf-8"):
+            h = (h * 1099511628211 + byte) & M
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        h ^= h >> 31
+        return h
+
     def ref(text):
-        tokens = (text or "").lower().split()
+        tokens = (text or "").lower().replace("\x00", " ").split()
         if not tokens:
             return 0
         votes = [0] * 64
         for tok in tokens:
-            h = int(pd.util.hash_array(np.array([tok], dtype=object))[0])
+            h = token_hash(tok)
             for bit in range(64):
                 votes[bit] += (h >> bit) & 1
         val = sum(1 << b for b in range(64) if votes[b] * 2 >= len(tokens))
