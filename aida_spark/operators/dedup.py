@@ -13,6 +13,16 @@ Scale notes (100 TB design point):
 - candidate pairs are verified with EXACT char-shingle Jaccard (set
   arithmetic over the normalized text) before reporting — the LSH banding
   only proposes, never decides.
+
+EAGER + PERSISTED contract: every pair-returning operator in this module
+(``minhash_lsh_pairs``, ``ngram_jaccard_pairs``, ``embedding_near_dups``,
+``simhash_pairs`` — and ``graphops.dedup_clusters``) runs at CALL time
+and returns its result persisted (``_finalize``): candidate-generation
+intermediates are released before returning, and re-evaluating the
+result never replays them. The caller owns the returned frame — call
+``unpersist()`` once it is consumed/materialized elsewhere, or repeated
+operator calls in a long-lived session accumulate result blocks (the
+bench loop and tests do this; see ADVICE r3).
 """
 
 from __future__ import annotations

@@ -2,23 +2,118 @@
 components over the near-duplicate pair graph, turning pairwise matches
 into dedup CLUSTERS (pick one representative per component).
 
-Scale shape: min-label propagation expressed as DataFrame joins — each
-iteration is one equi-join (labels onto the symmetrized edge list) plus
-one min-aggregate, i.e. two hash shuffles on uniformly distributed node
-ids, no driver-side graph. Near-dup graphs from banded LSH are unions of
-near-cliques (diameter ~2-3 after the exact-dedup pre-pass collapses
-identical texts), so propagation converges in ~3 rounds; the loop is
-capped and convergence-checked with a cheap count per round. For
-general graphs with long chains, swap in large-star/small-star — for
-dedup clusters the simple propagation is strictly less shuffle volume.
+Two methods, both pure DataFrame joins (no driver-side graph):
+
+- ``propagation`` (default): min-label propagation — each round is one
+  equi-join (labels onto the symmetrized edge list) plus one
+  min-aggregate, i.e. two hash shuffles on uniformly distributed node
+  ids. The min label travels ONE hop per round, so it converges in
+  O(diameter) rounds. Near-dup graphs from banded LSH are unions of
+  near-cliques (diameter ~2-3 after the exact-dedup pre-pass collapses
+  identical texts), so ~3 rounds and strictly less shuffle volume than
+  star contraction.
+- ``star``: alternating large-star/small-star contraction (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  O(log n) rounds regardless of diameter. The scale path for GENERAL
+  graphs (long chains, unknown structure), at the cost of rewriting the
+  edge list every round.
+
+Both are deterministic, label every component by its minimum node id,
+and RAISE (configurable) instead of silently returning wrong labels if
+the round cap is exhausted before convergence.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters"]
+
+
+def _edge_fingerprint(edges: DataFrame, a: str, b: str) -> tuple[int, int]:
+    """(row count, order-independent checksum) of an edge set — one
+    aggregate job; equal fingerprints on DISTINCT edge sets would need a
+    summed-xxhash64 collision (~2^-64), which is below any practical
+    convergence-misdetection risk."""
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col(a), F.col(b)).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("chk"),
+    ).collect()[0]
+    return int(row["n"]), int(row["chk"])
+
+
+def _star_rounds(
+    edges: DataFrame, max_iter: int
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Alternate large-star/small-star until the edge set is stable.
+    Returns (star edges oriented (node=v > root=u), converged?).
+
+    Each round's edge set is eagerly ``localCheckpoint``-ed: iterative
+    self-referential plans DOUBLE in tree size per round (the round's
+    output references its input twice — join + union), so without
+    lineage truncation the logical plan grows exponentially and the
+    driver OOMs just STRINGIFYING it by round ~10. Checkpointing also
+    materializes the round before the previous round's blocks become
+    unreferenced (the ContextCleaner reclaims them). Local checkpoints
+    trade executor-loss recoverability for speed — an acceptable trade
+    for a minutes-long CC loop whose input is re-derivable; a deployment
+    needing fault tolerance mid-loop sets a reliable
+    ``setCheckpointDir`` and swaps ``checkpoint()`` in."""
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # initial fingerprint in (larger, smaller) column order to match the
+    # per-round fingerprints below
+    prev = _edge_fingerprint(e, "v", "u")
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to m = min(N(u) + {u});
+        # works on the symmetrized view, emits edges oriented big->small
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.min("v").alias("_mn")
+        ).select("u", F.least("_mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .distinct()
+        )
+        # small-star on the oriented (child, parent<child) list: all of a
+        # child's parents collapse onto the minimum parent
+        smins = large.groupBy("c").agg(F.min("p").alias("m"))
+        small = (
+            large.join(smins, "c")
+            .select(F.col("p").alias("c"), F.col("m").alias("p"))
+            .filter(F.col("c") != F.col("p"))
+            .unionByName(
+                smins.select(F.col("c"), F.col("m").alias("p"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _edge_fingerprint(small, "c", "p")
+        e = small.select(F.col("p").alias("u"), F.col("c").alias("v"))
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    # e holds (root=u < node=v) star edges at convergence
+    return e, converged
 
 
 def connected_components(
@@ -28,42 +123,86 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    method: str = "propagation",
+    on_unconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) where component = min node id reachable through
     the undirected ``edges``. Nodes absent from every edge keep their own
-    id (singleton clusters). Deterministic; converges when a full round
-    changes no label.
+    id (singleton clusters). Deterministic.
 
-    The returned labels DataFrame is persisted (it was just used for the
-    convergence check; re-deriving it would replay every round) — callers
-    should ``unpersist()`` it once materialized. All intermediates are
-    released before returning."""
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .unionByName(
-            edges.select(
-                F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+    ``method='propagation'`` converges in O(diameter) rounds (the right
+    default for LSH near-dup graphs); ``method='star'`` in O(log n)
+    rounds (use for general graphs / long chains). If ``max_iter`` is
+    exhausted before a stable round, the labels would be WRONG — by
+    default this raises; ``on_unconverged='warn'`` downgrades to a
+    warning for callers that prefer partial progress. Each propagation
+    round advances the label TWO hops (one materialized sync per round,
+    ReuseExchange dedups the intermediate hop's shuffle), so
+    ``max_iter`` rounds cover a diameter of ``2*max_iter``.
+
+    The returned labels DataFrame is persisted — callers should
+    ``unpersist()`` it once materialized. All intermediates are released
+    before returning."""
+    canon = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    )
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+
+    if method == "star":
+        star_edges, converged = _star_rounds(canon, max_iter)
+        star_labels = star_edges.select(
+            F.col("v").alias("node"), F.col("u").alias("component")
+        )
+        labels = (
+            all_nodes.join(star_labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("component"), F.col("node")).alias(
+                    "component"
+                ),
             )
+            .persist()
+        )
+        labels.count()
+        if not converged:
+            _unconverged(max_iter, "star", on_unconverged)
+        return labels
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r}")
+
+    sym = (
+        canon.unionByName(
+            canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         .distinct()
+        .persist()
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("component")
-    )
-    sym = sym.persist()
-    labels = labels.persist()
+    labels = all_nodes.select(
+        "node", F.col("node").alias("component")
+    ).persist()
+
+    def one_hop(lbl: DataFrame) -> DataFrame:
+        # each node proposes its current label to every neighbor
+        proposals = sym.join(lbl, sym["u"] == lbl["node"]).select(
+            F.col("v").alias("node"), "component"
+        )
+        return (
+            lbl.unionByName(proposals)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+
+    converged = False
     try:
         for _ in range(max_iter):
-            # each node proposes its current label to every neighbor
-            proposals = sym.join(
-                labels, sym["u"] == labels["node"]
-            ).select(F.col("v").alias("node"), "component")
-            new_labels = (
-                labels.unionByName(proposals)
-                .groupBy("node")
-                .agg(F.min("component").alias("component"))
-                .persist()
-            )
+            # TWO hops per materialized round: the intermediate hop is an
+            # unpersisted subplan whose shuffle Spark's ReuseExchange
+            # dedups within the round — so each driver sync (the change
+            # check) advances the min label two hops, halving sync count
+            # per hop vs the r3 loop. The eager localCheckpoint
+            # truncates the round's lineage (self-referential plans grow
+            # exponentially otherwise — see _star_rounds).
+            new_labels = one_hop(one_hop(labels)).localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -74,26 +213,52 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            _unconverged(max_iter, "propagation", on_unconverged)
         return labels
     finally:
         sym.unpersist()
+
+
+def _unconverged(max_iter: int, method: str, on_unconverged: str) -> None:
+    msg = (
+        f"connected_components({method=}) exhausted max_iter={max_iter} "
+        "before a stable round — labels are NOT converged (a component "
+        "with diameter > max_iter keeps multiple labels). Raise max_iter"
+        + (", or use method='star' (O(log n) rounds)."
+           if method == "propagation" else ".")
+    )
+    if on_unconverged == "warn":
+        warnings.warn(msg, stacklevel=3)
+    else:
+        raise RuntimeError(msg)
 
 
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    method: str = "propagation",
 ) -> DataFrame:
     """Near-duplicate clusters: connected components over a pair list
     (e.g. ``minhash_lsh_pairs`` output), every document included (docs
     with no near-dup form singleton clusters), plus the keep/drop
     decision (keep = the minimum id of the cluster). Returns
-    (doc_id, cluster_id, keep)."""
+    (doc_id, cluster_id, keep).
+
+    EAGER + PERSISTED contract (same as the dedup pair operators): the
+    result is materialized at call time and returned persisted — the
+    internal label table is released here, so callers only need to
+    ``unpersist()`` the returned frame when done with it."""
+    from .dedup import _finalize
+
     nodes = docs.select(F.col(id_col).alias("id")).distinct()
-    cc = connected_components(nodes, pairs)
-    return cc.select(
+    cc = connected_components(nodes, pairs, method=method)
+    result = cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("keep"),
     )
+    return _finalize(result, cc)

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["conv_of_subj", "entity_cooccurrence", "entity_mention_stats"]
+__all__ = [
+    "conv_of_subj",
+    "entity_cooccurrence",
+    "entity_mention_stats",
+    "incremental_entity_cooccurrence",
+    "incremental_entity_mention_stats",
+]
 
 
 def conv_of_subj(col="subj"):
@@ -24,17 +30,61 @@ def conv_of_subj(col="subj"):
     return F.substring_index(F.col(col), "/", 1)
 
 
-def entity_cooccurrence(triples: DataFrame, min_convs: int = 1) -> DataFrame:
+def entity_cooccurrence(
+    triples: DataFrame,
+    min_convs: int = 1,
+    max_entities_per_conv: int | None = 1000,
+    log_dropped: bool = False,
+) -> DataFrame:
     """(entity_a, entity_b, n_convs): undirected co-occurrence edges —
     how many conversations link both entities (a < b lexicographically;
     an entity pair counts once per conversation regardless of mention
-    multiplicity)."""
+    multiplicity).
+
+    The per-conversation self-join is quadratic in the conversation's
+    DISTINCT entity count, so a single pathological conversation (bot
+    loop linking 10k entities -> 5x10^7 edge rows) could dominate the
+    shuffle. ``max_entities_per_conv`` ENFORCES the bound upstream
+    pruning only makes likely: each conversation contributes at most its
+    top-N entities by mention count (ties broken by entity name, so the
+    cap is deterministic), bounding per-conversation edge fan-out at
+    N(N-1)/2. ``None`` disables the cap. With ``log_dropped=True`` a
+    separate (cheap, entity-grain) aggregate counts the capped
+    conversations and warns — off by default to keep the view a single
+    lazy plan."""
     ce = (
         triples.select(
             conv_of_subj().alias("conv"), F.col("obj").alias("entity")
         )
-        .distinct()
+        .groupBy("conv", "entity")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+    if max_entities_per_conv is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("conv").orderBy(
+            F.desc("n_mentions"), F.asc("entity")
+        )
+        ranked = ce.withColumn("_rn", F.row_number().over(w))
+        if log_dropped:
+            import warnings
+
+            n_capped = (
+                ranked.filter(F.col("_rn") > max_entities_per_conv)
+                .select("conv")
+                .distinct()
+                .count()
+            )
+            if n_capped:
+                warnings.warn(
+                    f"entity_cooccurrence: {n_capped} conversation(s) "
+                    f"exceeded max_entities_per_conv={max_entities_per_conv};"
+                    " their lowest-mention-count entities were dropped from"
+                    " the edge view",
+                    stacklevel=2,
+                )
+        ce = ranked.filter(F.col("_rn") <= max_entities_per_conv).drop("_rn")
+    ce = ce.select("conv", "entity")
     a, b = ce.alias("a"), ce.alias("b")
     return (
         a.join(
@@ -66,4 +116,110 @@ def entity_mention_stats(triples: DataFrame) -> DataFrame:
             F.countDistinct("conv").alias("n_convs"),
             F.countDistinct("mention").alias("n_surfaces"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance (VERDICT r3 #5): both views decompose into
+# per-conversation-bucket PARTIAL aggregates (a conversation lives in
+# exactly one lineage bucket, so bucket partials merge exactly), so a
+# lineage checkpoint recomputes only the partials of dirty buckets and
+# the final view is a cheap sum/distinct merge over all bucket partials.
+# At 10^12-turn scale an edited/late conversation touches one bucket's
+# partial, not the full triple table.
+# ---------------------------------------------------------------------------
+
+def incremental_entity_cooccurrence(
+    checkpoint,
+    triples: DataFrame,
+    min_convs: int = 1,
+    max_entities_per_conv: int | None = 1000,
+    stage: str = "kgview_cooc",
+) -> DataFrame:
+    """Incrementally-maintained :func:`entity_cooccurrence`:
+    per-bucket partial edge counts are materialized through a
+    ``lineage.BucketCheckpoint`` built with ``key_col='conv'`` — only
+    buckets whose triples changed recompute their partial — and the
+    final view sums partials. Bit-identical to the batch view (the cap
+    and per-conv dedup run inside the bucket, where the whole
+    conversation is visible)."""
+    t = triples.select(
+        conv_of_subj().alias("conv"), F.col("obj").alias("entity")
+    )
+
+    def compute(bucketed: DataFrame) -> DataFrame:
+        ce = bucketed.groupBy("_bucket", "conv", "entity").agg(
+            F.count(F.lit(1)).alias("n_mentions")
+        )
+        if max_entities_per_conv is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("conv").orderBy(
+                F.desc("n_mentions"), F.asc("entity")
+            )
+            ce = (
+                ce.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_entities_per_conv)
+                .drop("_rn")
+            )
+        ce = ce.select("_bucket", "conv", "entity")
+        a, b = ce.alias("a"), ce.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.conv") == F.col("b.conv"))
+                & (F.col("a.entity") < F.col("b.entity")),
+            )
+            .groupBy(
+                F.col("a._bucket").alias("_bucket"),
+                F.col("a.entity").alias("entity_a"),
+                F.col("b.entity").alias("entity_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_convs"))
+        )
+
+    partial = checkpoint.materialize(stage, t, compute)
+    return (
+        partial.groupBy("entity_a", "entity_b")
+        .agg(F.sum("n_convs").cast("long").alias("n_convs"))
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def incremental_entity_mention_stats(
+    checkpoint,
+    triples: DataFrame,
+    stage: str = "kgview_stats",
+) -> DataFrame:
+    """Incrementally-maintained :func:`entity_mention_stats`. Partial
+    grain = (bucket, entity) with the in-bucket mention count, distinct
+    conv count (exact under the merge: a conversation lives in one
+    bucket) and the distinct surface SET (surfaces can repeat across
+    buckets, so the merge re-distincts the union — the set is bounded by
+    an entity's in-bucket surface diversity, dozens not millions)."""
+    t = triples.select(
+        conv_of_subj().alias("conv"),
+        F.col("obj").alias("entity"),
+        F.col("mention"),
+    )
+
+    def compute(bucketed: DataFrame) -> DataFrame:
+        return bucketed.groupBy("_bucket", "entity").agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv").alias("n_convs"),
+            F.collect_set("mention").alias("surfaces"),
+        )
+
+    partial = checkpoint.materialize(stage, t, compute)
+    counts = partial.groupBy("entity").agg(
+        F.sum("n_mentions").cast("long").alias("n_mentions"),
+        F.sum("n_convs").cast("long").alias("n_convs"),
+    )
+    surfaces = (
+        partial.select("entity", F.explode("surfaces").alias("mention"))
+        .groupBy("entity")
+        .agg(F.countDistinct("mention").alias("n_surfaces"))
+    )
+    return counts.join(surfaces, "entity").select(
+        "entity", "n_mentions", "n_convs", "n_surfaces"
     )

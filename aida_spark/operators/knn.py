@@ -24,6 +24,13 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
+    "IvfIndex",
+    "ivf_build",
+    "ivf_query",
+    "ivf_load",
+    "LshIndex",
+    "lsh_build",
+    "lsh_query",
 ]
 
 
@@ -79,27 +86,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((dim, n_planes))
 
 
-def lsh_bucketed_topk(
-    base: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    dim: int | None = None,
-    n_planes: int = 4,
-    n_tables: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 7,
-) -> DataFrame:
-    """Multi-table sign-LSH ANN: ``n_tables`` independent hash tables of
-    ``n_planes`` sign bits each; candidates = same-(table, bucket) pairs,
-    deduped, exact-cosine reranked. Recall grows with n_tables (union of
-    probes), bucket size shrinks with n_planes — the classic tradeoff.
-    The candidate join is an equi-join on (table, bucket): at scale the
-    base side shuffles once on a uniform hash key.
-
-    ``dim`` may be omitted: hyperplanes are derived lazily inside the
-    Arrow UDF from the first batch's vector length (deterministic given
-    the seed), so omitting it never costs a driver-side lookup job."""
+def _sign_lsh_buckets_udf(n_planes: int, n_tables: int, seed: int,
+                          dim: int | None = None):
+    """Shared bucket-code UDF for the sign-LSH build and query sides —
+    both MUST hash with the same seed-derived hyperplanes."""
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     plane_cache: dict[int, np.ndarray] = {}
     if dim is not None:
@@ -118,19 +108,72 @@ def lsh_bucketed_topk(
     def buckets_udf(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (n, dim)
         all_planes = _planes_for(mat.shape[1])
-        out = []
         codes = np.empty((len(mat), n_tables), dtype=np.int64)
         for t in range(n_tables):
             bits = (mat @ all_planes[t]) > 0
             codes[:, t] = bits @ weights + (t << n_planes)
-        for row in codes:
-            out.append(row)
-        return pd.Series(out)
+        return pd.Series(list(codes))
 
-    b = base.select(
+    return buckets_udf
+
+
+class LshIndex:
+    """A built sign-LSH index: the bucketed base table plus the hashing
+    parameters (hyperplanes are re-derived from the seed — only the
+    params need to survive, not the matrices). Build once, serve many
+    query batches; call :meth:`unpersist` when done."""
+
+    def __init__(self, bucketed: DataFrame, n_planes: int, n_tables: int,
+                 seed: int):
+        self.bucketed = bucketed
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+
+    def unpersist(self) -> None:
+        self.bucketed.unpersist()
+
+
+def lsh_build(
+    base: DataFrame,
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    persist: bool = True,
+) -> LshIndex:
+    """Bucket-assignment phase of multi-table sign-LSH: one narrow
+    Arrow-batched pass computes ``n_tables`` bucket codes per vector.
+    ``dim`` may be omitted: hyperplanes are derived lazily inside the
+    Arrow UDF from the first batch's vector length (deterministic given
+    the seed), so omitting it never costs a driver-side lookup job."""
+    buckets_udf = _sign_lsh_buckets_udf(n_planes, n_tables, seed, dim)
+    bucketed = base.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("bvec"),
         F.explode(buckets_udf(F.col(vec_col))).alias("bucket"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        bucketed.count()
+    return LshIndex(bucketed, n_planes, n_tables, seed)
+
+
+def lsh_query(
+    index: LshIndex,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve one query batch from a built LSH index: candidates =
+    same-(table, bucket) pairs, deduped, exact-cosine reranked."""
+    buckets_udf = _sign_lsh_buckets_udf(
+        index.n_planes, index.n_tables, index.seed
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -138,7 +181,7 @@ def lsh_bucketed_topk(
         F.explode(buckets_udf(F.col(vec_col))).alias("bucket"),
     )
     cand = (
-        b.join(F.broadcast(q), "bucket")
+        index.bucketed.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -149,6 +192,39 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def lsh_bucketed_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 4,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    index: LshIndex | None = None,
+) -> DataFrame:
+    """One-shot multi-table sign-LSH ANN = :func:`lsh_build` +
+    :func:`lsh_query`. Recall grows with n_tables (union of probes),
+    bucket size shrinks with n_planes — the classic tradeoff. The
+    candidate join is an equi-join on (table, bucket): at scale the base
+    side shuffles once on a uniform hash key. The one-shot path builds
+    WITHOUT persisting; pass a prebuilt ``index`` to serve repeated
+    query batches from one bucket-assignment pass."""
+    if index is None:
+        index = lsh_build(
+            base,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            persist=False,
+        )
+    return lsh_query(index, queries, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def _train_centroids_sample(
@@ -174,6 +250,145 @@ def _train_centroids_sample(
     return centers
 
 
+class IvfIndex:
+    """A built IVF index: trained centroids + the cell-assigned base
+    table. Build ONCE, serve many query batches — a 100-TB corpus must
+    not re-train k-means and re-assign every vector per query batch
+    (the r3 ``ivf_topk`` did exactly that). The Spark analogue of the
+    reference's precomputed ``entity_lsh_signatures_2000`` table
+    (DataAccessSQL.java:74,657).
+
+    ``assigned`` is (neighbor_id, bvec, cell); when built with
+    ``persist=True`` it is cached+materialized so every query batch
+    reads the in-memory copy (plan shows InMemoryTableScan, no second
+    assignment pass) — call :meth:`unpersist` when done. ``save``/
+    :func:`ivf_load` round-trip the index through storage (Parquet +
+    centroid .npy) for cross-session reuse."""
+
+    def __init__(self, centers: np.ndarray, assigned: DataFrame):
+        self.centers = centers
+        self.assigned = assigned
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+    def save(self, path: str) -> None:
+        import os
+
+        self.assigned.write.mode("overwrite").parquet(
+            os.path.join(path, "assigned")
+        )
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "centers.npy"), self.centers)
+
+
+def ivf_load(spark, path: str) -> IvfIndex:
+    """Load an :class:`IvfIndex` previously written by ``save`` (the
+    assigned table streams from Parquet — partition pruning on ``cell``
+    applies when the consumer filters cells)."""
+    import os
+
+    centers = np.load(os.path.join(path, "centers.npy"))
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return IvfIndex(centers, assigned)
+
+
+def ivf_build(
+    base: DataFrame,
+    n_centroids: int = 64,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    persist: bool = True,
+) -> IvfIndex:
+    """Train + assign phase of IVF ANN:
+
+    1. train ``n_centroids`` spherical k-means centroids on a BOUNDED
+       sample (deterministic, seeded);
+    2. assign every base vector to its nearest centroid (one narrow
+       Arrow-batched pass) -> inverted lists keyed by ``cell``.
+
+    The training sample is the ``sample_size`` rows with the smallest
+    ``xxhash64(id, seed)`` — a deterministic uniform sample executed as a
+    distributed top-n (per-partition heaps, driver merge of sample_size
+    rows only). Unlike ``limit()``, it is NOT first-partition-biased: on
+    a corpus sorted/clustered by region the sample still spans all
+    regions, so the k-means centroids cover every cluster.
+
+    ``persist=False`` keeps the assignment a lazy plan (for one-shot use
+    where caching would only add memory pressure)."""
+    take = (
+        base.select(
+            F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h")
+        )
+        .orderBy("_h")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.array([r[0] for r in take], dtype=np.float64)
+    centers = _train_centroids_sample(sample, n_centroids, seed)
+
+    @F.pandas_udf(LongType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ centers.T).argmax(axis=1).astype(np.int64))
+
+    assigned = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("bvec"),
+        cell_udf(F.col(vec_col)).alias("cell"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned.count()
+    return IvfIndex(centers, assigned)
+
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve one query batch from a built IVF index: each query probes
+    its ``n_probe`` nearest cells; candidates meet queries in an
+    equi-join on ``cell`` (broadcast query side); exact cosine rerank
+    inside the probed cells only. Recall grows with n_probe (fraction of
+    cells scanned)."""
+    centers = index.centers
+    n_probe_eff = min(n_probe, centers.shape[0])
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ centers.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe_eff]
+        return pd.Series(list(order.astype(np.int64)))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
+    )
+    cand = index.assigned.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn("sim", cosine_sim_col(F.col("qvec"), F.col("bvec")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -185,75 +400,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     seed: int = 7,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN — the clustered alternative to sign-LSH:
-
-    1. train ``n_centroids`` spherical k-means centroids on a BOUNDED
-       sample (deterministic, seeded);
-    2. assign every base vector to its nearest centroid (one narrow
-       Arrow-batched pass) -> inverted lists keyed by ``cell``;
-    3. each query probes its ``n_probe`` nearest cells; candidates meet
-       queries in an equi-join on ``cell`` (broadcast query side);
-    4. exact cosine rerank inside the probed cells only.
-
-    Scale shape: the base table is scanned once for assignment and
-    shuffles once on the cell key (cells are ~corpus/n_centroids wide —
-    pick n_centroids ~ sqrt(corpus) so cells stay bounded); queries
-    broadcast. Recall grows with n_probe (fraction of cells scanned).
-
-    The training sample is the ``sample_size`` rows with the smallest
-    ``xxhash64(id, seed)`` — a deterministic uniform sample executed as a
-    distributed top-n (per-partition heaps, driver merge of sample_size
-    rows only). Unlike ``limit()``, it is NOT first-partition-biased: on
-    a corpus sorted/clustered by region the sample still spans all
-    regions, so the k-means centroids cover every cluster.
-    """
-    take = (
-        base.select(
-            F.col(vec_col), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h")
+    """One-shot IVF ANN = :func:`ivf_build` + :func:`ivf_query` (see
+    those for the scale shape). The one-shot path builds WITHOUT
+    persisting (nothing outlives the returned plan); pass a prebuilt
+    ``index`` to serve repeated query batches from one assignment pass.
+    ``dim`` is accepted for API symmetry and ignored (centroid dim comes
+    from the sample)."""
+    if index is None:
+        index = ivf_build(
+            base,
+            n_centroids=n_centroids,
+            sample_size=sample_size,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            persist=False,
         )
-        .orderBy("_h")
-        .limit(sample_size)
-        .collect()
-    )
-    sample = np.array([r[0] for r in take], dtype=np.float64)
-    if dim is None:
-        dim = sample.shape[1]
-    centers = _train_centroids_sample(sample, n_centroids, seed)
-
-    from pyspark.sql.types import LongType as _Long
-
-    @F.pandas_udf(_Long())
-    def cell_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ centers.T).argmax(axis=1).astype(np.int64))
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ centers.T
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(order.astype(np.int64)))
-
-    b = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("bvec"),
-        cell_udf(F.col(vec_col)).alias("cell"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qvec"),
-        F.explode(probe_udf(F.col(vec_col))).alias("cell"),
-    )
-    cand = b.join(F.broadcast(q), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = cand.withColumn("sim", cosine_sim_col(F.col("qvec"), F.col("bvec")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+    return ivf_query(
+        index, queries, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )

@@ -16,7 +16,8 @@ Stage plan (SURVEY.md §3.1 "Spark shape") and its scale rationale:
                deterministically, run the exact CocktailParty solver from
                aida_spark.core. The only per-conversation Python; graphs
                are <= ~5 x #mentions nodes.
-  E. triples   project + dedup (groupBy subj,pred,obj).
+  E. triples   projection only (assignments are already unique per
+               mention — no dedup shuffle).
 
 Exactly two data-sized shuffles: B's join fan-out and D's conv_id fan-in.
 Word-level dictionaries (word_ids, expansions, stopwords, mention keys)
@@ -69,8 +70,21 @@ class PipelineConfig:
     # both to 0.0/None for exact reference-default ("Full") parity.
     min_keyphrase_weight: float = 0.002
     max_keyphrases_per_entity: int | None = 1000
-    # P9 chunking: split conversations longer than this many turns; 0 = off
-    max_turns_per_chunk: int = 0
+    # P9 chunking: split conversations longer than this many turns into
+    # bounded windows, reconciled by surface form afterwards (O3); 0 = off.
+    # DEFAULT ON since r4 — the reference always runs a chunker
+    # (Preparator.java:106-123; its FixedLengthDocumentChunker unit is 10
+    # *sentences*, AidaConfig.java:154), and an unbounded conversation is
+    # the last unbounded input of the solve stage: solver cost/memory are
+    # superlinear in mentions (measured, tools/bench_chunking.py: a
+    # SINGLE 5k-turn conversation unchunked = 112 s / 3.6 GB worker peak
+    # vs 15 s / 180 MB at 512). 256 measured against 128/512/1024 on a
+    # 100k-turn mega-conversation: bit-identical triples at every
+    # setting, flat ~360 MB worker peak for 128-512, and per-conversation
+    # straggler wall 118 s vs 220 s (512) / 410 s (1024); 128 is ~2x
+    # faster still but halves the coherence-graph context for no further
+    # memory win. Conversations at or under the bound are untouched.
+    max_turns_per_chunk: int = 256
     # force a shuffle join for the dictionary (for very large dictionaries);
     # by default Spark broadcasts when under autoBroadcastJoinThreshold
     broadcast_dictionary: bool = True
@@ -836,13 +850,20 @@ class AidaPipeline:
 
     # ---- stage E: triples ---------------------------------------------
     def triples(self, assignments: DataFrame) -> DataFrame:
-        """(subj, pred, obj) materialization with entity-resolution dedup.
+        """(subj, pred, obj) materialization.
 
-        Assignments are already unique per (conv, turn, offset) — one
-        winner per mention — so the distinct (a full shuffle stage) is
-        only needed when conversation chunking can produce overlapping
-        chunk results (O3 reconciliation)."""
-        out = assignments.select(
+        No dedup shuffle: assignments are unique per (conv, turn,
+        char_offset) BY CONSTRUCTION — spotting's covered-token set
+        forbids overlapping mentions inside a turn, chunk windows (P9)
+        partition turns disjointly, and O3 reconciliation re-labels
+        mentions without duplicating them (verified: bit-identical triple
+        sets at chunk sizes 0/128/256/512/1024 on a 100k-turn
+        conversation, and pinned by
+        test_chunked_assignments_have_unique_subjects). Input rows that
+        duplicate a (conv_id, turn_idx) key yield duplicate mentions in
+        the chunked and unchunked paths ALIKE — dedup dirty transcripts
+        upstream, where it costs one hash-agg on the narrow input."""
+        return assignments.select(
             F.concat_ws(
                 "/",
                 F.col("conv_id"),
@@ -854,9 +875,6 @@ class AidaPipeline:
             F.col("mention"),
             F.col("score"),
         )
-        if self.cfg.max_turns_per_chunk:
-            out = out.dropDuplicates(["subj", "pred", "obj"])
-        return out
 
     def run(self, transcripts: DataFrame, checkpoint=None) -> DataFrame:
         """transcripts -> triples. Pass a ``lineage.BucketCheckpoint`` to

@@ -241,8 +241,18 @@ def main() -> None:
         "doc_quality_counts",
         "word_doc_freq",
         "topk_orders_per_customer",
+        # r3 operators, benched since r4 so they carry a regression floor
+        "dedup_clusters",
+        "decontam_overlap",
+        "pack_sequences",
+        "repetition_metrics",
     ):
-        qfns[name](spark, SF_DIR).count()  # per-query JIT/codegen warmup
+        # pair-style operators return their result PERSISTED (eager
+        # _finalize contract — see operators/dedup.py); unpersist after
+        # consumption so repeated bench calls don't accumulate blocks
+        warm = qfns[name](spark, SF_DIR)  # per-query JIT/codegen warmup
+        warm.count()
+        warm.unpersist()
         # isolate queries from each other's JVM garbage: the r2 bench
         # regressions (knn 1.6->5.9 s, word_doc_freq 0.9->4.3 s) were
         # root-caused to (a) never-unpersisted dedup intermediates (fixed
@@ -254,8 +264,10 @@ def main() -> None:
         # between-query benchmark hygiene, recorded in BENCH.md §6.
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
-        qfns[name](spark, SF_DIR).count()
+        timed = qfns[name](spark, SF_DIR)
+        timed.count()
         queries[name] = round(time.time() - t0, 3)
+        timed.unpersist()
     spark.stop()
 
     total = sum(queries.values())

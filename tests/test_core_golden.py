@@ -441,6 +441,67 @@ class TestM4UnitLM:
         assert s_song == pytest.approx(-14.0439080571, abs=1e-8)
         assert s_region == pytest.approx(-14.1334564268, abs=1e-8)
 
+    def test_unit_lm_bucket_slice_dependence_is_bounded(self, kb):
+        """ADVICE r3 (low): in the Spark path the unit-LM background
+        models aggregate over the solve-BUCKET's entity slice, so a
+        conversation's SwitchedUnit scores vary with which entities
+        co-reside in its bucket. This pins the dependence: restricting
+        the tables to only the document's candidate entities (the
+        minimum any bucket can hold) vs the full universe must (a)
+        actually shift the log-likelihoods (the dependence is real, not
+        hypothetical), (b) shift them by a bounded amount, and (c) never
+        change which candidate WINS for a mention — the background shift
+        is shared across a mention's candidates, so relative order is
+        robust."""
+        import dataclasses
+
+        from aida_spark.core.me_measures import unigram_lm_similarity
+
+        text = (
+            "When Page played Kashmir at Knebworth , his Les Paul was "
+            "uniquely tuned ."
+        )
+        ids = [kb.word_id(t) for t in text.split(" ")]
+        cand_sets = {
+            "Page": ["Jimmy_Page", "Larry_Page"],
+            "Kashmir": ["Kashmir", "Kashmir_(song)"],
+        }
+        keep = {e for es in cand_sets.values() for e in es}
+        kps = {kp for e in keep for kp in kb.entity_kps.get(e, [])}
+        toks = {t for kp in kps for t in kb.kp_tokens.get(kp, [])}
+        sliced = dataclasses.replace(
+            kb,
+            entity_kps={e: v for e, v in kb.entity_kps.items() if e in keep},
+            kp_tokens={k: v for k, v in kb.kp_tokens.items() if k in kps},
+            kw_counts={t: c for t, c in kb.kw_counts.items() if t in toks},
+            kp_counts={k: c for k, c in kb.kp_counts.items() if k in kps},
+            entity_counts={
+                e: c for e, c in kb.entity_counts.items() if e in keep
+            },
+            entity_kp_count={
+                (e, k): c
+                for (e, k), c in kb.entity_kp_count.items()
+                if e in keep
+            },
+            entity_kw_count={
+                (e, t): c
+                for (e, t), c in kb.entity_kw_count.items()
+                if e in keep
+            },
+            entity_bigram_count={},
+            bigram_counts={},
+        )
+
+        deltas = []
+        for mention, cands in cand_sets.items():
+            full = {e: unigram_lm_similarity(e, ids, kb) for e in cands}
+            part = {e: unigram_lm_similarity(e, ids, sliced) for e in cands}
+            deltas.extend(abs(full[e] - part[e]) for e in cands)
+            # (c) the winner is slice-invariant
+            assert max(full, key=full.get) == max(part, key=part.get)
+        assert max(deltas) > 0.0  # (a) the dependence is real
+        assert max(deltas) < 1.0  # (b) and bounded (log-likelihood units)
+
     def test_bigram_lm_pinned(self):
         from aida_spark.core.me_measures import bigram_lm_similarity
 

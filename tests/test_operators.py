@@ -419,6 +419,59 @@ def test_ivf_centroids_cover_sorted_clusters(spark):
     assert all(r >= 0.8 for r in per_query.values()), per_query
 
 
+def test_ann_build_query_split_reuses_one_index(spark, tmp_path):
+    """A 100-TB corpus builds its ANN index ONCE and serves many query
+    batches (VERDICT r3 missing #2): two ivf_query batches from one
+    ivf_build must (a) match the one-shot results, (b) read the cached
+    assignment (InMemoryTableScan in the plan — no second k-means or
+    assignment scan), and (c) round-trip through save/ivf_load. Same
+    reuse contract for lsh_build/lsh_query."""
+    from pyspark.sql import functions as F
+    from aida_spark.operators.knn import (
+        ivf_build,
+        ivf_load,
+        ivf_query,
+        ivf_topk,
+        lsh_build,
+        lsh_query,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    batch1 = emb.filter(F.col("vec_id") < 5)
+    batch2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+
+    idx = ivf_build(emb, n_centroids=16)
+    q2 = ivf_query(idx, batch2, k=5, n_probe=16)
+    plan = q2._jdf.queryExecution().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+    got1 = sorted(map(tuple, ivf_query(idx, batch1, k=5, n_probe=16).collect()))
+    got2 = sorted(map(tuple, q2.collect()))
+    oneshot1 = sorted(map(tuple, ivf_topk(
+        emb, batch1, k=5, n_centroids=16, n_probe=16
+    ).collect()))
+    assert got1 == oneshot1 and got1 and got2
+
+    # save / load round-trip serves identical results
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    loaded = ivf_load(spark, path)
+    got1_loaded = sorted(
+        map(tuple, ivf_query(loaded, batch1, k=5, n_probe=16).collect())
+    )
+    assert got1_loaded == got1
+    idx.unpersist()
+
+    lidx = lsh_build(emb, n_planes=4, n_tables=8)
+    l1 = sorted(map(tuple, lsh_query(lidx, batch1, k=5).collect()))
+    l1_oneshot = sorted(map(tuple, lsh_bucketed_topk(
+        emb, batch1, k=5, n_planes=4, n_tables=8
+    ).collect()))
+    assert l1 == l1_oneshot and l1
+    lidx.unpersist()
+
+
 def test_simhash_matches_independent_implementation(spark):
     """The vectorized (NUL-join + reduceat + bit-pack) simhash must equal
     a naive pure-int second implementation of the ENGINE-OWNED hash
@@ -642,6 +695,85 @@ class TestGraphOps:
         assert got[1] == (1, True)
         assert got[2] == (1, False) and got[3] == (1, False)
         assert got[4] == (4, True)  # singleton keeps itself
+
+    def test_star_agrees_with_propagation_and_union_find(self, spark):
+        """Star contraction and min-label propagation must produce
+        identical labels, both equal to a pure-python union-find, on a
+        seeded random graph with chains, cliques and singletons."""
+        import random
+
+        from aida_spark.operators.graphops import connected_components
+
+        rng = random.Random(7)
+        n = 300
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+        # normalize to min-id-of-component labels
+        comp_min: dict[int, int] = {}
+        for i, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, i), i)
+        expected = {i: comp_min[find(i)] for i in range(n)}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        for method in ("propagation", "star"):
+            labels = connected_components(nodes, edf, method=method)
+            got = {r["node"]: r["component"] for r in labels.collect()}
+            labels.unpersist()
+            assert got == expected, method
+
+    def test_star_converges_on_long_chain(self, spark):
+        """A 10k-node path graph (diameter 9999): propagation would need
+        ~10k rounds, star contraction collapses it in O(log n) rounds
+        under the default cap — the ADVICE r3 long-chain scenario."""
+        from aida_spark.operators.graphops import connected_components
+
+        n = 10_000
+        nodes = spark.range(n).withColumnRenamed("id", "id")
+        edges = (
+            spark.range(n - 1)
+            .selectExpr("id as id_a", "id + 1 as id_b")
+        )
+        labels = connected_components(nodes, edges, method="star")
+        dist = labels.groupBy("component").count().collect()
+        labels.unpersist()
+        assert len(dist) == 1
+        assert dist[0]["component"] == 0 and dist[0]["count"] == n
+
+    def test_propagation_unconverged_raises_not_silent(self, spark):
+        """Exhausting max_iter before a stable round must raise (wrong
+        labels must never flow silently into keep/drop decisions);
+        on_unconverged='warn' downgrades to a warning."""
+        import pytest as _pytest
+
+        from aida_spark.operators.graphops import connected_components
+
+        n = 40
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        with _pytest.raises(RuntimeError, match="NOT converged"):
+            connected_components(nodes, edges, max_iter=3)
+        with _pytest.warns(UserWarning, match="NOT converged"):
+            labels = connected_components(
+                nodes, edges, max_iter=3, on_unconverged="warn"
+            )
+            labels.unpersist()
 
 
 class TestDecontam:

@@ -110,6 +110,44 @@ def test_chunked_conversation_reconciles(spark):
     assert got == expected
 
 
+def test_default_chunking_on_and_transparent_for_short_convs(spark):
+    """r4: chunking (P9) defaults ON with a measured bound. Conversations
+    at or under the bound must be bit-identical to an explicitly
+    unchunked run (the golden-parity suite runs at the default, so this
+    pins the transparency the suite relies on)."""
+    assert PipelineConfig().max_turns_per_chunk == 256
+    corpus = synth_transcripts(6, 8, seed=11)
+    df = spark.createDataFrame(corpus)
+    default_out = sorted(
+        tuple(r)
+        for r in AidaPipeline(spark, kb_tables(), PipelineConfig())
+        .run(df)
+        .collect()
+    )
+    unchunked_out = sorted(
+        tuple(r)
+        for r in AidaPipeline(
+            spark, kb_tables(), PipelineConfig(max_turns_per_chunk=0)
+        )
+        .run(df)
+        .collect()
+    )
+    assert default_out == unchunked_out and default_out
+
+
+def test_chunked_assignments_have_unique_subjects(spark):
+    """A mega-conversation (8x the default bound) must complete at the
+    default config with every triple subject unique — triples() relies
+    on this to skip the dedup shuffle (spotting's covered set + disjoint
+    chunk windows + non-duplicating O3 reconciliation)."""
+    corpus = synth_transcripts(1, 2048, seed=13)
+    out = AidaPipeline(spark, kb_tables(), PipelineConfig()).run(
+        spark.createDataFrame(corpus)
+    )
+    subjects = [r["subj"] for r in out.collect()]
+    assert subjects and len(subjects) == len(set(subjects))
+
+
 def test_candidate_join_is_broadcast(spark, pipeline):
     keys = pipeline.spot_mention_keys(
         spark.createDataFrame(golden_transcript())
@@ -623,3 +661,135 @@ def test_kg_materialize_views(spark, pipeline):
         e: (n, len(cs), len(ms)) for e, (n, cs, ms) in exp_stats.items()
     }
     triples.unpersist()
+
+
+def test_incremental_kg_views_rebuild_only_dirty_bucket(spark, tmp_path):
+    """Editing ONE conversation and re-running the incremental views must
+    (a) produce bit-identical results to a full batch recompute, while
+    (b) rebuilding only the dirty lineage bucket's partial (exactly one
+    changed input_hash; the clean buckets' partition files on disk are
+    untouched)."""
+    import os
+
+    from aida_spark.lineage import BucketCheckpoint
+    from aida_spark.operators.kgviews import (
+        entity_cooccurrence,
+        entity_mention_stats,
+        incremental_entity_cooccurrence,
+        incremental_entity_mention_stats,
+    )
+
+    def triples_df(changed: bool):
+        rows = []
+        for c in range(30):
+            ents = [f"e{c % 7}", f"e{(c + 3) % 7}", f"e{(c + 5) % 7}"]
+            if changed and c == 13:
+                ents = ["e_new", "e0"]
+            for t, e in enumerate(ents):
+                rows.append(
+                    (f"conv{c:03d}/{t}/0", "linksTo", e, f"m_{e}", 1.0)
+                )
+        return spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, mention string, score double",
+        )
+
+    ckpt = BucketCheckpoint(
+        spark, str(tmp_path / "views"), n_buckets=16, key_col="conv"
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    v1 = triples_df(False)
+    assert canon(incremental_entity_cooccurrence(ckpt, v1)) == canon(
+        entity_cooccurrence(v1)
+    )
+    assert canon(incremental_entity_mention_stats(ckpt, v1)) == canon(
+        entity_mention_stats(v1)
+    )
+    lineage1 = {
+        r["_bucket"]: r["input_hash"]
+        for r in ckpt.lineage("kgview_cooc").collect()
+    }
+    data_dir = str(tmp_path / "views" / "kgview_cooc" / "data")
+    mtimes1 = {
+        d: os.path.getmtime(os.path.join(data_dir, d))
+        for d in os.listdir(data_dir)
+        if d.startswith("_bucket=")
+    }
+
+    v2 = triples_df(True)
+    assert canon(incremental_entity_cooccurrence(ckpt, v2)) == canon(
+        entity_cooccurrence(v2)
+    )
+    assert canon(incremental_entity_mention_stats(ckpt, v2)) == canon(
+        entity_mention_stats(v2)
+    )
+    lineage2 = {
+        r["_bucket"]: r["input_hash"]
+        for r in ckpt.lineage("kgview_cooc").collect()
+    }
+    changed_buckets = [b for b in lineage1 if lineage1[b] != lineage2.get(b)]
+    assert len(changed_buckets) == 1  # only conv013's bucket
+    mtimes2 = {
+        d: os.path.getmtime(os.path.join(data_dir, d))
+        for d in os.listdir(data_dir)
+        if d.startswith("_bucket=")
+    }
+    untouched = [
+        d
+        for d in mtimes1
+        if d != f"_bucket={changed_buckets[0]}" and d in mtimes2
+    ]
+    assert untouched and all(mtimes1[d] == mtimes2[d] for d in untouched)
+
+
+def test_entity_cooccurrence_cap_bounds_megaconversation(spark):
+    """A 5k-distinct-entity conversation (the VERDICT r3 'what's wrong
+    #2' scenario) must complete with BOUNDED edge output: the per-conv
+    cap keeps the top-N entities by mention count (deterministic tie
+    break by name), so edge fan-out is at most N(N-1)/2 per conversation
+    and other conversations are untouched."""
+    import pytest as _pytest
+
+    from aida_spark.operators.kgviews import entity_cooccurrence
+
+    rows = []
+    # 5 hot entities (3 mentions each) named to sort lexicographically
+    # LAST — if they survive the cap, selection is by count, not name
+    for j in range(5):
+        for r in range(3):
+            rows.append((f"big/{j}/{r}", "linksTo", f"zhot{j}", "m", 1.0))
+    for i in range(4995):
+        rows.append((f"big/{100+i}/0", "linksTo", f"e{i:04d}", "m", 1.0))
+    # an uncapped small conversation rides along unchanged
+    rows.append(("small/0/0", "linksTo", "x1", "m", 1.0))
+    rows.append(("small/1/0", "linksTo", "x2", "m", 1.0))
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, mention string, score double"
+    )
+
+    edges = entity_cooccurrence(df, max_entities_per_conv=100).collect()
+    small = [(e["entity_a"], e["entity_b"]) for e in edges if e["entity_a"] == "x1"]
+    assert small == [("x1", "x2")]
+    big = [e for e in edges if e["entity_a"] != "x1"]
+    assert len(big) == 100 * 99 // 2  # bounded, not 5000*4999/2
+    kept = {e["entity_a"] for e in big} | {e["entity_b"] for e in big}
+    assert kept == {f"zhot{j}" for j in range(5)} | {
+        f"e{i:04d}" for i in range(95)
+    }
+
+    with _pytest.warns(UserWarning, match="1 conversation"):
+        entity_cooccurrence(
+            df, max_entities_per_conv=100, log_dropped=True
+        ).collect()
+
+    # cap off: the quadratic fan-out is the caller's explicit choice
+    from pyspark.sql import functions as SF
+
+    uncapped = entity_cooccurrence(
+        df.filter(SF.col("subj").startswith("small")),
+        max_entities_per_conv=None,
+    ).collect()
+    assert len(uncapped) == 1
