@@ -98,6 +98,23 @@ class PipelineConfig:
     # "trigram" = exact inverted-index join (C5); "lsh" = MinHash-LSH
     # prefilter + trigram verify (C6, for very large dictionaries)
     fuzzy_method: str = "trigram"
+    # Ship spotted SPANS from stage A through the cogroup instead of
+    # re-spotting in stage D (VERDICT r3 #7 experiment). The solver must
+    # re-tokenize either way (it needs token ids for context scoring), so
+    # this trades the stage-D dictionary max-match CPU against shipping
+    # ~6 ints + surface per mention occurrence through the fan-in
+    # shuffle plus one stage-A materialization (localCheckpoint — two
+    # consumers read the spot output). Measured at bench scale (480k
+    # turns, local[32], tools/bench_span_shipping.py, three paired
+    # best-of-3 runs incl. one order-reversed): re-spot 16.1/12.6/12.6 s
+    # vs ship_spans 13.0/13.3/13.0 s — medians 12.6 vs 13.0 s, i.e.
+    # WITHIN host noise (±20% on this box), with re-spot consistently
+    # ahead once the noisy first leg is excluded. Re-spotting stays the
+    # default (no extra materialization, output bit-identical — pinned
+    # by test_ship_spans_bit_identical_to_respotting). Kept as a config
+    # path: a deployment whose dictionary probes dominate (huge
+    # max_len, dense entity text) can flip it and re-measure.
+    ship_spans: bool = False
     # solve-stage group granularity: conversations hash into this many
     # buckets; one applyInPandas group per bucket amortizes the per-group
     # Arrow/pandas overhead over ~corpus/solve_buckets conversations.
@@ -185,8 +202,51 @@ def _build_conversation_doc_arrays(
     return all_token_texts, mentions, mention_turn
 
 
+def _build_conversation_doc_from_span_rows(turn_ids, texts, span_map):
+    """ship_spans doc build: tokenize for token texts (the solver's
+    context features need token ids regardless), but take the mentions
+    from stage A's shipped spans instead of re-running the dictionary
+    max-match. ``span_map``: turn_idx -> [(seq, surface, tok_start,
+    tok_end, char_offset, char_length)] sorted by seq, reproducing
+    spot_mentions' exact output order (candidate iteration order breaks
+    solver ties)."""
+    all_token_texts: list[str] = []
+    mentions: list[SpottedMention] = []
+    mention_turn: list[int] = []
+    offset = 0
+    for turn_idx, text in zip(turn_ids, texts):
+        clean, _manual = parse_markup(text or "")
+        toks = tokenize(clean)
+        for (_seq, surface, ts, te, co, cl) in span_map.get(int(turn_idx), ()):
+            mentions.append(
+                SpottedMention(
+                    surface=surface,
+                    start_token=int(ts) + offset,
+                    end_token=int(te) + offset,
+                    char_offset=int(co),
+                    char_length=int(cl),
+                )
+            )
+            mention_turn.append(int(turn_idx))
+        all_token_texts.extend(t.text for t in toks)
+        offset += len(toks)
+    return all_token_texts, mentions, mention_turn
+
+
 # stage-B candidate rows (per conversation x mention x entity — small)
 _CAND_COLS = ("mention_key", "entity", "prior", "rank")
+# ship_spans 'm' rows reuse the tagged union's existing nullable columns
+# (no schema widening for the common path); this mapping is the single
+# source of truth for packing (solve()) and unpacking (solve_bucket):
+_SPAN_PACKING = {
+    "turn_idx": "kp_count",
+    "seq": "kp_df",
+    "surface": "inlinks_csv",
+    "tok_start": "kp",
+    "tok_end": "position",
+    "char_offset": "token",
+    "char_length": "expanded",
+}
 # per-BUCKET entity payload rows (deduped: a hot entity spotted in a
 # million conversations ships its keyphrase bundle once per bucket, not
 # once per conversation — the r3 fix for payload-shuffle amplification)
@@ -432,6 +492,75 @@ class AidaPipeline:
             spot, MENTION_KEY_SCHEMA
         )
 
+    # ---- stage A variant: spot once, ship spans (ship_spans=True) -----
+    SPAN_SCHEMA = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("seq", IntegerType()),  # spot order within turn
+            StructField("mention_key", StringType()),
+            StructField("surface", StringType()),
+            StructField("tok_start", IntegerType()),
+            StructField("tok_end", IntegerType()),
+            StructField("char_offset", IntegerType()),
+            StructField("char_length", IntegerType()),
+        ]
+    )
+
+    def spot_spans(self, transcripts: DataFrame) -> DataFrame:
+        """Per-OCCURRENCE spotted spans (turn-local token/char indices,
+        plus the within-turn spot sequence so the solver reproduces the
+        exact mention order — candidate iteration order breaks solver
+        ties). One narrow pass; the caller materializes it once
+        (localCheckpoint) because both the key derivation and the
+        cogroup consume it."""
+        a_keys = self._a_mention_keys
+        a_fw = self._a_first_words
+        unknown_caps = self.cfg.fuzzy_min_sim > 0.0
+        schema = self.SPAN_SCHEMA
+
+        def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .kb_artifacts import load_hash_set
+
+            keys = load_hash_set(a_keys)
+            fw = load_hash_set(a_fw)
+            for pdf in batches:
+                rows = []
+                for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+                ):
+                    clean, manual = parse_markup(text or "")
+                    toks = tokenize(clean)
+                    for seq, m in enumerate(
+                        spot_mentions(
+                            toks,
+                            manual,
+                            keys,
+                            include_unknown_caps=unknown_caps,
+                            first_words=fw,
+                        )
+                    ):
+                        rows.append(
+                            (
+                                conv_id,
+                                int(turn_idx),
+                                seq,
+                                conflate(m.surface),
+                                m.surface,
+                                m.start_token,
+                                m.end_token,
+                                m.char_offset,
+                                m.char_length,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in schema.fields]
+                )
+
+        return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+            spot, schema
+        )
+
     # ---- stage B: candidate join --------------------------------------
     def candidates(self, mention_keys: DataFrame) -> DataFrame:
         """(conv_id, mention_key, entity, prior, rank) candidate rows —
@@ -536,7 +665,12 @@ class AidaPipeline:
         )
 
     # ---- stage D: per-conversation solve ------------------------------
-    def solve(self, transcripts: DataFrame, candidates: DataFrame) -> DataFrame:
+    def solve(
+        self,
+        transcripts: DataFrame,
+        candidates: DataFrame,
+        spans: DataFrame | None = None,
+    ) -> DataFrame:
         cfg = self.cfg
         a_word_ids = self._a_word_ids
         a_expansions = self._a_expansions
@@ -577,30 +711,38 @@ class AidaPipeline:
             tc = t_codes[t_order]
             t_bounds = np.flatnonzero(np.r_[True, tc[1:] != tc[:-1], True])
 
-            is_ent = (pay_b["_kind"] == "e").to_numpy() if not pay_b.empty \
-                else np.empty(0, dtype=bool)
-            ent_b = pay_b[is_ent] if is_ent.any() else None
-            cand_b = pay_b[~is_ent] if not pay_b.empty else pay_b
+            kinds = pay_b["_kind"].to_numpy() if not pay_b.empty \
+                else np.empty(0, dtype=object)
+            ent_b = pay_b[kinds == "e"] if (kinds == "e").any() else None
+            span_b = pay_b[kinds == "m"] if (kinds == "m").any() else None
+            cand_b = pay_b[kinds == "c"] if not pay_b.empty else pay_b
             ent_tables = _EntityTables(
                 tuple(ent_b[c].to_numpy() for c in _ENT_COLS)
                 if ent_b is not None
                 else tuple(np.empty(0, dtype=object) for _ in _ENT_COLS)
             )
 
+            def conv_ranges(frame, cols):
+                codes, uniq = pd.factorize(frame["conv_id"], sort=False)
+                order = np.argsort(codes, kind="stable")
+                arrs = tuple(frame[c].to_numpy()[order] for c in cols)
+                oc = codes[order]
+                bounds = np.flatnonzero(np.r_[True, oc[1:] != oc[:-1], True])
+                return arrs, {
+                    uniq[i]: (bounds[i], bounds[i + 1])
+                    for i in range(len(uniq))
+                }
+
             pay_ranges: dict = {}
             cand_cols = None
             if not cand_b.empty:
-                p_codes, p_uniq = pd.factorize(cand_b["conv_id"], sort=False)
-                p_order = np.argsort(p_codes, kind="stable")
-                cand_cols = tuple(
-                    cand_b[c].to_numpy()[p_order] for c in _CAND_COLS
+                cand_cols, pay_ranges = conv_ranges(cand_b, _CAND_COLS)
+            span_ranges: dict = {}
+            span_cols = None
+            if span_b is not None:
+                span_cols, span_ranges = conv_ranges(
+                    span_b, tuple(_SPAN_PACKING.values())
                 )
-                pc = p_codes[p_order]
-                p_bounds = np.flatnonzero(np.r_[True, pc[1:] != pc[:-1], True])
-                pay_ranges = {
-                    p_uniq[i]: (p_bounds[i], p_bounds[i + 1])
-                    for i in range(len(p_uniq))
-                }
             empty_cols = tuple(
                 np.empty(0, dtype=object) for _ in _CAND_COLS
             )
@@ -613,15 +755,22 @@ class AidaPipeline:
                     if cand_cols is not None and phi > plo
                     else empty_cols
                 )
+                conv_spans = None
+                if span_cols is not None:
+                    slo, shi = span_ranges.get(conv_id, (0, 0))
+                    conv_spans = tuple(c[slo:shi] for c in span_cols)
                 solve_conv(conv_id, ti[lo:hi], tx[lo:hi], conv_cand,
-                           ent_tables, rows)
+                           ent_tables, rows, conv_spans)
             return pd.DataFrame(
                 rows, columns=[f.name for f in ASSIGNMENT_SCHEMA.fields]
             )
 
+        spans_mode = spans is not None
+
         def solve_conv(
             conv_id, turn_ids, texts, cand_cols: tuple,
-            ent_tables: "_EntityTables", rows: list
+            ent_tables: "_EntityTables", rows: list,
+            conv_spans: tuple | None = None,
         ) -> None:
             from .kb_artifacts import (
                 load_hash_map,
@@ -651,16 +800,35 @@ class AidaPipeline:
                 ]
             else:
                 chunks = [(turn_ids, texts)]
+            span_map: dict | None = None
+            if spans_mode:
+                span_map = {}
+                if conv_spans is not None and len(conv_spans[0]):
+                    turn_a, seq_a, surf_a, ts_a, te_a, co_a, cl_a = conv_spans
+                    for k in range(len(turn_a)):
+                        span_map.setdefault(int(turn_a[k]), []).append(
+                            (int(seq_a[k]), surf_a[k], ts_a[k], te_a[k],
+                             co_a[k], cl_a[k])
+                        )
+                    for v in span_map.values():
+                        v.sort()
             chunk_outputs = []
             for chunk_ti, chunk_tx in chunks:
-                token_texts, mentions, mention_turn = (
-                    _build_conversation_doc_arrays(
-                        chunk_ti,
-                        chunk_tx,
-                        mention_keys,
-                        include_unknown_caps=unknown_caps,
+                if span_map is not None:
+                    token_texts, mentions, mention_turn = (
+                        _build_conversation_doc_from_span_rows(
+                            chunk_ti, chunk_tx, span_map
+                        )
                     )
-                )
+                else:
+                    token_texts, mentions, mention_turn = (
+                        _build_conversation_doc_arrays(
+                            chunk_ti,
+                            chunk_tx,
+                            mention_keys,
+                            include_unknown_caps=unknown_caps,
+                        )
+                    )
                 from .core.disambiguate import Document
 
                 doc = Document(
@@ -762,6 +930,32 @@ class AidaPipeline:
                 "types_csv",
             )
         )
+        if spans is not None:
+            # 'm' rows: spotted spans packed into the existing nullable
+            # columns per _SPAN_PACKING (no schema widening)
+            tagged = tagged.unionByName(
+                spans.withColumn("_sbucket", bucket).select(
+                    "_sbucket",
+                    F.lit("m").alias("_kind"),
+                    "conv_id",
+                    "mention_key",
+                    _null("string").alias("entity"),
+                    _null("double").alias("prior"),
+                    _null("double").alias("rank"),
+                    F.col("tok_start").cast("long").alias("kp"),
+                    F.col("tok_end").cast("long").alias("position"),
+                    F.col("char_offset").cast("long").alias("token"),
+                    F.col("char_length").cast("long").alias("expanded"),
+                    _null("double").alias("mi"),
+                    _null("double").alias("idf"),
+                    F.col("turn_idx").cast("long").alias("kp_count"),
+                    F.col("seq").cast("long").alias("kp_df"),
+                    _null("long").alias("kw_df"),
+                    _null("long").alias("e_count"),
+                    F.col("surface").alias("inlinks_csv"),
+                    _null("string").alias("types_csv"),
+                )
+            )
         return (
             turns_slim.withColumn("_sbucket", bucket)
             .groupBy("_sbucket")
@@ -881,18 +1075,27 @@ class AidaPipeline:
         materialize the solve stage with per-partition lineage + exact
         resume: unchanged conversation buckets are read back instead of
         re-solved."""
+        def stage_ad(tr: DataFrame) -> DataFrame:
+            if self.cfg.ship_spans:
+                # spot ONCE; both consumers (key derivation + cogroup)
+                # read the materialized spans (eager localCheckpoint:
+                # lineage-truncated, blocks reclaimed by the
+                # ContextCleaner when the run's frames are released)
+                spans = self.spot_spans(tr).localCheckpoint(eager=True)
+                keys = spans.select("conv_id", "mention_key").dropDuplicates()
+                return self.solve(tr, self.candidates(keys), spans=spans)
+            keys = self.spot_mention_keys(tr)
+            return self.solve(tr, self.candidates(keys))
+
         if checkpoint is not None:
             def compute(bucketed: DataFrame) -> DataFrame:
-                tr = bucketed.drop("_bucket")
-                keys = self.spot_mention_keys(tr)
-                return self.solve(tr, self.candidates(keys))
+                return stage_ad(bucketed.drop("_bucket"))
 
             assignments = checkpoint.materialize(
                 "assignments", transcripts, compute
             )
         else:
-            keys = self.spot_mention_keys(transcripts)
-            assignments = self.solve(transcripts, self.candidates(keys))
+            assignments = stage_ad(transcripts)
         return self.triples(assignments)
 
 

@@ -148,6 +148,33 @@ def test_chunked_assignments_have_unique_subjects(spark):
     assert subjects and len(subjects) == len(set(subjects))
 
 
+def test_ship_spans_bit_identical_to_respotting(spark):
+    """The ship_spans experiment path (stage A ships per-occurrence
+    spans through the cogroup; stage D tokenizes but does not re-spot)
+    must be BIT-identical to the default re-spotting path — including
+    manual [[...]] markup, chunked conversations (300 turns > the 256
+    default bound) and mention-order-dependent tie breaks."""
+    corpus = pd.concat(
+        [golden_transcript(), synth_transcripts(2, 300, seed=23)]
+    )
+    df = spark.createDataFrame(corpus)
+    base = sorted(
+        tuple(r)
+        for r in AidaPipeline(spark, kb_tables(), PipelineConfig())
+        .run(df)
+        .collect()
+    )
+    shipped = sorted(
+        tuple(r)
+        for r in AidaPipeline(
+            spark, kb_tables(), PipelineConfig(ship_spans=True)
+        )
+        .run(df)
+        .collect()
+    )
+    assert shipped == base and base
+
+
 def test_candidate_join_is_broadcast(spark, pipeline):
     keys = pipeline.spot_mention_keys(
         spark.createDataFrame(golden_transcript())
