@@ -22,6 +22,7 @@ __all__ = [
     "redact_pii",
     "stratified_sample",
     "mix_by_token_budget",
+    "dedup_repeated_lines",
 ]
 
 # Compact closed-class marker words per language for the n-gram/stopword
@@ -316,3 +317,84 @@ def stratified_sample(
         else F.lit(int(round(default_fraction * 10_000)))
     )
     return df.filter(h < frac)
+
+
+# --- line-level (boilerplate) dedup ------------------------------------
+
+def dedup_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """RefinedWeb/Falcon-style LINE-level dedup: remove lines whose
+    trimmed form occurs in >= ``min_df`` distinct documents (nav menus,
+    cookie banners, license footers — the boilerplate that survives
+    document-level dedup because the documents AROUND it differ).
+    Lines shorter than ``min_line_chars`` after trimming are exempt
+    (headers/blank separators would otherwise be nuked corpus-wide).
+
+    Returns one row per input document: (id, text_clean, n_lines,
+    n_removed); a document whose every line is boilerplate keeps its row
+    with an empty ``text_clean`` (row parity with the input — the caller
+    decides whether to drop emptied docs).
+
+    Scale shape — pure Catalyst, no UDFs:
+    1. posexplode(split) is narrow;
+    2. the doc-frequency aggregate shuffles (line_hash, doc) pairs on
+       the uniformly-distributed ``xxhash64`` of the trimmed line, with
+       map-side partial aggregation, then filters to hashes at
+       >= min_df — the surviving boilerplate set is SMALL (by
+       definition it is the corpus's repeated fraction), so the
+       line-removal join broadcasts it under AQE;
+    3. reassembly is one shuffle keyed by doc id (sort_array over
+       (pos, line) structs restores original line order).
+    A hash collision (p ~ distinct_lines/2^64) could drop an innocent
+    line; the DuckDB oracle joins on the line STRINGS, so the driver
+    gate would catch any such event at test scale."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.trim(F.col("line"))
+    eligible = F.length(norm) >= min_line_chars
+    boilerplate = (
+        lines.filter(eligible)
+        .select(F.xxhash64(norm).alias("lh"), "id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh")
+    )
+    tagged = lines.withColumn(
+        "lh", F.when(eligible, F.xxhash64(norm))
+    ).join(
+        boilerplate.withColumn("_bl", F.lit(True)), "lh", "left"
+    )
+    kept = tagged.filter(F.col("_bl").isNull())
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(reassembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

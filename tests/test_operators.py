@@ -776,6 +776,50 @@ class TestGraphOps:
             labels.unpersist()
 
 
+class TestLineDedup:
+    def test_boilerplate_lines_removed_order_preserved(self, spark):
+        """RefinedWeb-style line dedup: a line in >= min_df distinct
+        docs disappears from ALL of them; short lines are exempt; line
+        order is preserved; an entirely-boilerplate doc keeps its row
+        with empty text (row parity)."""
+        from aida_spark.operators.textops import dedup_repeated_lines
+
+        banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+        rows = [
+            (1, f"unique first line one\n{banner}\nunique tail one"),
+            (2, f"{banner}\nunique middle two\n{banner}"),
+            (3, f"unique alpha three\nunique beta three\n{banner}"),
+            (4, "no boilerplate here at all\njust regular prose lines"),
+            (5, banner),  # entirely boilerplate -> emptied, row kept
+            (6, "==\nshort line doc\n=="),  # '==' repeats but is exempt
+            (7, "==\nanother short-line doc\n=="),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+            for r in dedup_repeated_lines(
+                df, min_df=3, min_line_chars=10
+            ).collect()
+        }
+        assert got[1] == ("unique first line one\nunique tail one", 3, 1)
+        assert got[2] == ("unique middle two", 3, 2)
+        assert got[3] == ("unique alpha three\nunique beta three", 3, 1)
+        assert got[4] == (rows[3][1], 2, 0)
+        assert got[5] == ("", 1, 1)
+        # '==' appears in 4 lines across 2 docs but is under
+        # min_line_chars -> exempt
+        assert got[6] == (rows[5][1], 3, 0)
+        assert got[7] == (rows[6][1], 3, 0)
+        assert len(got) == 7
+
+    def test_plan_has_no_python_udf(self, spark):
+        from aida_spark.operators.textops import dedup_repeated_lines
+
+        df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+        plan = dedup_repeated_lines(df)._jdf.queryExecution().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestDecontam:
     def test_find_contaminated_planted_overlap(self, spark):
         from aida_spark.operators.decontam import find_contaminated
