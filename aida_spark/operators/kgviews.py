@@ -4,10 +4,13 @@ entity co-occurrence edges and per-entity mention statistics, for
 downstream graph analytics / embedding training.
 
 Scale shape: the edge view is a per-conversation self-join over the
-DISTINCT entities of each conversation (candidate sets are pruned
-upstream, so per-conv entity counts are small and the join is bounded
-per key), followed by a partial-aggregated count — two shuffles on
-uniform keys, no UDFs.
+DISTINCT entities of each conversation, ENFORCED-bounded per key since
+r4 (``max_entities_per_conv``: deterministic top-N by mention count —
+upstream candidate pruning makes small counts likely, the cap makes
+them guaranteed), followed by a partial-aggregated count — shuffles on
+uniform keys, no UDFs. The ``incremental_*`` variants maintain both
+views through per-lineage-bucket partials: an edited conversation
+rebuilds one bucket's partial, not the corpus-wide view.
 """
 
 from __future__ import annotations

@@ -273,23 +273,31 @@ class IvfIndex:
         self.assigned.unpersist()
 
     def save(self, path: str) -> None:
-        import os
-
-        self.assigned.write.mode("overwrite").parquet(
-            os.path.join(path, "assigned")
-        )
-        os.makedirs(path, exist_ok=True)
-        np.save(os.path.join(path, "centers.npy"), self.centers)
+        """Both parts write through Spark, so ``path`` may be any
+        supported filesystem (file://, hdfs://, s3a://) — the centroid
+        table is tiny (n_centroids rows) but storage-agnosticism beats
+        a driver-local .npy that a cluster deployment cannot read."""
+        spark = self.assigned.sparkSession
+        self.assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+        rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(self.centers)
+        ]
+        spark.createDataFrame(
+            rows, "cell long, center array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
 
 
 def ivf_load(spark, path: str) -> IvfIndex:
     """Load an :class:`IvfIndex` previously written by ``save`` (the
     assigned table streams from Parquet — partition pruning on ``cell``
-    applies when the consumer filters cells)."""
-    import os
-
-    centers = np.load(os.path.join(path, "centers.npy"))
-    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    applies when the consumer filters cells; the centroid collect is
+    bounded at n_centroids rows)."""
+    crows = spark.read.parquet(f"{path}/centers").collect()
+    centers = np.array(
+        [r["center"] for r in sorted(crows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+    assigned = spark.read.parquet(f"{path}/assigned")
     return IvfIndex(centers, assigned)
 
 

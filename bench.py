@@ -246,6 +246,7 @@ def main() -> None:
         "decontam_overlap",
         "pack_sequences",
         "repetition_metrics",
+        "line_dedup",
     ):
         # pair-style operators return their result PERSISTED (eager
         # _finalize contract — see operators/dedup.py); unpersist after
