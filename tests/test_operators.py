@@ -819,6 +819,65 @@ class TestLineDedup:
         plan = dedup_repeated_lines(df)._jdf.queryExecution().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_random_corpus_matches_python_reference_and_idempotent(
+        self, spark
+    ):
+        """Seeded random multi-line corpus vs a pure-python reference;
+        and IDEMPOTENCE: removal deletes ALL copies of a boilerplate
+        line while kept lines keep their original doc frequency, so a
+        second pass at the same threshold changes nothing."""
+        import random
+        from collections import defaultdict
+
+        from aida_spark.operators.textops import dedup_repeated_lines
+
+        rng = random.Random(99)
+        pool = [
+            f"shared boilerplate line number {i} for reuse" for i in range(6)
+        ] + ["=="]  # short line, exempt
+        docs = []
+        for d in range(40):
+            lines = []
+            for _ in range(rng.randint(1, 6)):
+                if rng.random() < 0.4:
+                    lines.append(rng.choice(pool))
+                else:
+                    lines.append(f"unique line {d}/{rng.randrange(10**6)}")
+            docs.append((d, "\n".join(lines)))
+        min_df, min_chars = 3, 10
+
+        by_line = defaultdict(set)
+        for d, text in docs:
+            for ln in text.split("\n"):
+                if len(ln.strip()) >= min_chars:
+                    by_line[ln.strip()].add(d)
+        bl = {ln for ln, ds in by_line.items() if len(ds) >= min_df}
+        expected = {}
+        for d, text in docs:
+            kept = [
+                ln
+                for ln in text.split("\n")
+                if len(ln.strip()) < min_chars or ln.strip() not in bl
+            ]
+            n_lines = len(text.split("\n"))
+            expected[d] = ("\n".join(kept), n_lines, n_lines - len(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out1 = dedup_repeated_lines(df, min_df=min_df, min_line_chars=min_chars)
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+            for r in out1.collect()
+        }
+        assert got == expected
+
+        again = dedup_repeated_lines(
+            out1.select(F.col("doc_id"), F.col("text_clean").alias("text")),
+            min_df=min_df,
+            min_line_chars=min_chars,
+        )
+        got2 = {r["doc_id"]: r["text_clean"] for r in again.collect()}
+        assert got2 == {d: t for d, (t, _n, _r) in expected.items()}
+
 
 class TestDecontam:
     def test_find_contaminated_planted_overlap(self, spark):
