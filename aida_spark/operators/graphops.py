@@ -4,19 +4,21 @@ into dedup CLUSTERS (pick one representative per component).
 
 Two methods, both pure DataFrame joins (no driver-side graph):
 
-- ``propagation`` (default): min-label propagation — each round is one
-  equi-join (labels onto the symmetrized edge list) plus one
-  min-aggregate, i.e. two hash shuffles on uniformly distributed node
-  ids. The min label travels ONE hop per round, so it converges in
-  O(diameter) rounds. Near-dup graphs from banded LSH are unions of
-  near-cliques (diameter ~2-3 after the exact-dedup pre-pass collapses
-  identical texts), so ~3 rounds and strictly less shuffle volume than
-  star contraction.
-- ``star``: alternating large-star/small-star contraction (Kiveris et
-  al., "Connected Components in MapReduce and Beyond", SoCC'14) —
-  O(log n) rounds regardless of diameter. The scale path for GENERAL
-  graphs (long chains, unknown structure), at the cost of rewriting the
-  edge list every round.
+- ``star`` (default): alternating large-star/small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14) — O(log n) rounds regardless of diameter, and the edge set
+  SHRINKS every round (stars collapse). Measured faster than
+  propagation even on the near-clique graphs dedup produces (sf0.1
+  near-dup graph: 2.3-3.0 s vs 3.2-4.8 s; synthetic 1M-node/200k-
+  cluster graph: 8.8 s vs 18.4 s; 100k-node chain: 52 s where
+  propagation cannot finish at all) — BENCH.md §Round 4.
+- ``propagation``: min-label propagation — each round joins the FULL
+  symmetrized edge list onto the labels and min-aggregates (two hash
+  shuffles on uniform node ids, two hops per materialized round). The
+  r3 theory that this is cheaper for shallow near-clique graphs was
+  contradicted by measurement (the per-round re-join of the whole edge
+  list outweighs star's edge rewriting); kept as the diameter-bounded
+  alternative and as an independent implementation for cross-checking.
 
 Both are deterministic, label every component by its minimum node id,
 and RAISE (configurable) instead of silently returning wrong labels if
@@ -50,7 +52,7 @@ def _edge_fingerprint(edges: DataFrame, a: str, b: str) -> tuple[int, int]:
 
 def _star_rounds(
     edges: DataFrame, max_iter: int
-) -> tuple[DataFrame, DataFrame, bool]:
+) -> tuple[DataFrame, bool]:
     """Alternate large-star/small-star until the edge set is stable.
     Returns (star edges oriented (node=v > root=u), converged?).
 
@@ -123,22 +125,21 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
-    method: str = "propagation",
+    method: str = "star",
     on_unconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) where component = min node id reachable through
     the undirected ``edges``. Nodes absent from every edge keep their own
     id (singleton clusters). Deterministic.
 
-    ``method='propagation'`` converges in O(diameter) rounds (the right
-    default for LSH near-dup graphs); ``method='star'`` in O(log n)
-    rounds (use for general graphs / long chains). If ``max_iter`` is
-    exhausted before a stable round, the labels would be WRONG — by
-    default this raises; ``on_unconverged='warn'`` downgrades to a
-    warning for callers that prefer partial progress. Each propagation
-    round advances the label TWO hops (one materialized sync per round,
-    ReuseExchange dedups the intermediate hop's shuffle), so
-    ``max_iter`` rounds cover a diameter of ``2*max_iter``.
+    ``method='star'`` (default) converges in O(log n) rounds regardless
+    of structure and measured fastest on dedup graphs too;
+    ``method='propagation'`` advances the min label TWO hops per
+    materialized round (ReuseExchange dedups the intermediate hop's
+    shuffle), so ``max_iter`` rounds cover a diameter of ``2*max_iter``.
+    If ``max_iter`` is exhausted before a stable round, the labels would
+    be WRONG — by default this raises; ``on_unconverged='warn'``
+    downgrades to a warning for callers that prefer partial progress.
 
     The returned labels DataFrame is persisted — callers should
     ``unpersist()`` it once materialized. All intermediates are released
@@ -240,7 +241,7 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
-    method: str = "propagation",
+    method: str = "star",
 ) -> DataFrame:
     """Near-duplicate clusters: connected components over a pair list
     (e.g. ``minhash_lsh_pairs`` output), every document included (docs

@@ -768,10 +768,16 @@ class TestGraphOps:
             [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
         )
         with _pytest.raises(RuntimeError, match="NOT converged"):
-            connected_components(nodes, edges, max_iter=3)
+            connected_components(
+                nodes, edges, max_iter=3, method="propagation"
+            )
         with _pytest.warns(UserWarning, match="NOT converged"):
             labels = connected_components(
-                nodes, edges, max_iter=3, on_unconverged="warn"
+                nodes,
+                edges,
+                max_iter=3,
+                method="propagation",
+                on_unconverged="warn",
             )
             labels.unpersist()
 
