@@ -772,6 +772,43 @@ def test_incremental_kg_views_rebuild_only_dirty_bucket(spark, tmp_path):
     assert untouched and all(mtimes1[d] == mtimes2[d] for d in untouched)
 
 
+def test_html_debug_sink_annotates_and_escapes(spark, tmp_path):
+    """S7 HTML sink: per-conversation page with mentions hyperlinked to
+    their entities (HtmlGenerator.java analogue), OOKBE highlighted, and
+    raw text HTML-escaped; write_html_debug round-trips through a
+    conv_id-partitioned text layout."""
+    import glob
+
+    from aida_spark.sinks import html_report, write_html_debug
+
+    p = AidaPipeline(spark, kb_tables(), PipelineConfig(emit_ookbe=True))
+    corpus = golden_transcript()
+    # append a turn with an HTML-special character to pin escaping
+    corpus = pd.concat(
+        [
+            corpus,
+            pd.DataFrame(
+                [("t1", 1, "user", "Kashmir > all other songs & riffs.",
+                  "", corpus["ts"].iloc[0])],
+                columns=corpus.columns,
+            ),
+        ]
+    )
+    tr = spark.createDataFrame(corpus)
+    assignments = p.solve(tr, p.candidates(p.spot_mention_keys(tr)))
+    pages = {r["conv_id"]: r["html"] for r in html_report(tr, assignments).collect()}
+    page = pages["t1"]
+    assert "<a class='ent' href='https://en.wikipedia.org/wiki/Jimmy_Page'>Page</a>" in page
+    assert "<span class='ookbe'>Les Paul</span>" in page
+    assert "&gt; all other songs &amp; riffs." in page  # escaped
+    assert "<h1>t1</h1>" in page
+
+    out = str(tmp_path / "html")
+    write_html_debug(tr, assignments, out)
+    files = glob.glob(f"{out}/conv_id=t1/part-*")
+    assert files and "Jimmy_Page" in open(files[0]).read()
+
+
 def test_entity_cooccurrence_cap_bounds_megaconversation(spark):
     """A 5k-distinct-entity conversation (the VERDICT r3 'what's wrong
     #2' scenario) must complete with BOUNDED edge output: the per-conv
