@@ -885,6 +885,87 @@ class TestLineDedup:
         assert got2 == {d: t for d, (t, _n, _r) in expected.items()}
 
 
+class TestKeyphrases:
+    def test_pattern_families_on_explicit_tags(self, spark):
+        """Pattern fidelity independent of the tagger: feed KNOWN tag
+        sequences (what a real POS tagger would emit) and check the
+        extracted spans per family — the machinery the reference runs
+        over Stanford tags (KeyphraseExtractor.java:120-250)."""
+        from aida_spark.operators.keyphrases import extract_noun_phrases
+
+        words = "The University of Southern California announced results".split()
+        tags = ["DT", "NNP", "IN", "NNP", "NNP", "NN", "NNS"]
+        got = extract_noun_phrases(words, tags)
+        by_family = {}
+        for phrase, start, n, family in got:
+            by_family.setdefault(family, []).append((phrase, start, n))
+        assert ("University", 1, 1) in by_family["proper"]
+        # the reference's nounPhrase pattern extends an NNP run across
+        # trailing common nouns (KeyphraseExtractor.java:37)
+        assert (
+            "Southern California announced results",
+            3,
+            4,
+        ) in by_family["proper"]
+        assert (
+            "University of Southern California",
+            1,
+            4,
+        ) in by_family["proper_of"]
+        # DT + NNP (title style) requires the post-DT word capitalized
+        assert ("The University", 0, 2) in by_family["dt_proper"]
+
+    def test_heuristic_tagger_and_guards(self, spark):
+        from aida_spark.operators.keyphrases import (
+            extract_noun_phrases,
+            heuristic_pos_tags,
+        )
+
+        words = "statistical inference models beat manual rules".split()
+        tags = heuristic_pos_tags(words)
+        assert tags[0] == "JJ" and tags[2] == "NNS"
+        tech = [
+            (p, s, n)
+            for p, s, n, f in extract_noun_phrases(words)
+            if f == "technical"
+        ]
+        # greedy like the reference TT regex: the run absorbs trailing
+        # noun units, so the phrase STARTS at the technical term
+        assert tech and tech[0][0].startswith("statistical inference models")
+
+        # date-shaped proper nouns are filtered
+        assert extract_noun_phrases("January 15 2024".split()) == []
+
+        # lowercase adjective cannot start an adj_proper phrase
+        fams = {
+            f
+            for _p, _s, _n, f in extract_noun_phrases(
+                "musical Kashmir".split(), ["JJ", "NNP"]
+            )
+        }
+        assert "adj_proper" not in fams  # 'musical' is lowercase
+
+    def test_spark_operator_explodes_rows(self, spark):
+        from aida_spark.operators.keyphrases import extract_keyphrases
+
+        df = spark.createDataFrame(
+            [
+                (1, "Jimmy Page played Kashmir at the Knebworth Festival"),
+                (2, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = extract_keyphrases(df).collect()
+        phrases = {(r["doc_id"], r["phrase"]) for r in rows}
+        assert ("1", "Jimmy Page") in phrases
+        assert ("1", "Knebworth Festival") in phrases
+        assert all(r["doc_id"] != "2" for r in rows)
+        plan_cols = {r["family"] for r in rows}
+        assert plan_cols <= {
+            "proper", "proper_of", "adj_proper", "dt_proper", "technical"
+        }
+
+
 class TestDecontam:
     def test_find_contaminated_planted_overlap(self, spark):
         from aida_spark.operators.decontam import find_contaminated
