@@ -1,0 +1,158 @@
+"""S2: XML document ingest — the reference's XML preparator input
+formats (``preparator/inputformat/xml/*.java``) re-expressed as Spark
+readers: one row per XML file (``spark.read.text`` with ``wholetext``),
+one narrow Arrow-batched extraction pass, no shuffle.
+
+Formats ported (each cites its Java source):
+
+- ``trec``  — TREC/Robust04: document id from ``<DOCNO>``, text = the
+  tag-stripped content. The reference deliberately uses REGEX stripping
+  rather than an XML parser because TREC files are frequently not
+  well-formed XML (Robust04PreparatorInputFormat.java:42-49) — mirrored.
+- ``nyt``   — New York Times Annotated Corpus: every element's character
+  data is text (NYTPreparatorInputFormat.java:12-14), document id from
+  the ``<pubdata ex-ref="...res=ID">`` attribute (:22-36).
+- ``tei``   — TEI biography entries: text under ``<text><body>``
+  paragraphs, namespace-tolerant (TEIPreparatorInputFormat.java:85;
+  the reference's entry-type filtering and abbr/ref cleanup are
+  simplified to plain paragraph text — documented divergence, those
+  rules are specific to its NDB biography corpus).
+
+ALTO (OCR layout) and Spiegel are not ported (niche layout formats; the
+generic machinery accepts new extractors as plain functions).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator
+from xml.etree import ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+__all__ = [
+    "extract_trec",
+    "extract_nyt",
+    "extract_tei",
+    "read_xml_documents",
+    "xml_documents_to_transcripts",
+]
+
+_DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_DOCNO_RE = re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>", re.DOTALL)
+_TAG_RE = re.compile(r"<.*?>", re.DOTALL)
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def extract_trec(xml_str: str) -> tuple[str | None, str]:
+    """(DOCNO, tag-stripped text) — regex-based like the reference
+    (TREC corpora are not reliably well-formed XML)."""
+    m = _DOCNO_RE.search(xml_str)
+    doc_id = m.group(1) if m else None
+    text = _TAG_RE.sub("", xml_str)
+    return doc_id, " ".join(text.split())
+
+
+def extract_nyt(xml_str: str) -> tuple[str | None, str]:
+    """(pubdata res id, all character data in document order)."""
+    root = ET.fromstring(xml_str)
+    doc_id = None
+    for el in root.iter():
+        if _local(el.tag) == "pubdata":
+            exref = el.attrib.get("ex-ref", "")
+            idx = exref.find("res=")
+            if idx >= 0:
+                doc_id = exref[idx + 4 :]
+    text = " ".join("".join(root.itertext()).split())
+    return doc_id, text
+
+
+def extract_tei(xml_str: str) -> tuple[str | None, str]:
+    """(xml:id of the root or None, paragraph text under text/body)."""
+    root = ET.fromstring(xml_str)
+    doc_id = root.attrib.get("{http://www.w3.org/XML/1998/namespace}id")
+    paras: list[str] = []
+    for text_el in root.iter():
+        if _local(text_el.tag) != "text":
+            continue
+        for body in text_el:
+            if _local(body.tag) != "body":
+                continue
+            for p in body.iter():
+                if _local(p.tag) == "p":
+                    paras.append(" ".join("".join(p.itertext()).split()))
+    return doc_id, "\n".join(pp for pp in paras if pp)
+
+
+_EXTRACTORS: dict[str, Callable[[str], tuple[str | None, str]]] = {
+    "trec": extract_trec,
+    "nyt": extract_nyt,
+    "tei": extract_tei,
+}
+
+
+def read_xml_documents(
+    spark: SparkSession,
+    path_or_df,
+    fmt: str = "trec",
+    id_fallback_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, text) from XML content. ``path_or_df`` is either a glob
+    of XML files (read with ``wholetext`` — one row per file, a
+    distributed read) or a DataFrame with a ``value`` column of XML
+    strings. Documents whose format-specific id rule finds nothing get
+    a deterministic content-hash id (never silently dropped)."""
+    if fmt not in _EXTRACTORS:
+        raise ValueError(f"unknown XML format {fmt!r}; have {sorted(_EXTRACTORS)}")
+    extractor = _EXTRACTORS[fmt]
+    if isinstance(path_or_df, str):
+        df = spark.read.format("text").option("wholetext", "true").load(
+            path_or_df
+        )
+    else:
+        df = path_or_df
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for xml_str in pdf["value"]:
+                doc_id, text = extractor(xml_str or "")
+                if doc_id is None:
+                    doc_id = "doc_" + hashlib.blake2b(
+                        (xml_str or "").encode("utf-8"), digest_size=8
+                    ).hexdigest()
+                rows.append((doc_id, text))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DOC_SCHEMA.fields]
+            )
+
+    return df.select("value").mapInPandas(run, _DOC_SCHEMA)
+
+
+def xml_documents_to_transcripts(docs: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, role, text): adapt extracted documents to the
+    KG pipeline's transcript contract — one conversation per document,
+    one turn per line/paragraph (pure Catalyst: split + posexplode)."""
+    return docs.select(
+        F.col("doc_id").alias("conv_id"),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("turn_idx", "text"),
+    ).select(
+        "conv_id",
+        F.col("turn_idx").cast("int"),
+        F.lit("doc").alias("role"),
+        "text",
+    ).filter(F.length(F.trim(F.col("text"))) > 0)

@@ -82,3 +82,84 @@ class TestTriplePR:
         assert metrics["precision"] >= 0.95, metrics
         assert metrics["recall"] >= 0.95, metrics
         assert metrics["nil_violations"] == 0, metrics
+
+
+class TestXmlSources:
+    """S2 XML ingest formats (reference preparator/inputformat/xml/*)."""
+
+    TREC = (
+        "<DOC>\n<DOCNO> FBIS3-10082 </DOCNO>\n<HT>  text </HT>\n"
+        "<TEXT>\nJimmy Page played Kashmir at Knebworth.\n</TEXT>\n</DOC>"
+    )
+    NYT = (
+        "<nitf><head><pubdata ex-ref=\"http://nyt.com/x?res=9A0DE2\"/></head>"
+        "<body><hedline><hl1>Page at Knebworth</hl1></hedline>"
+        "<block class=\"full_text\"><p>Jimmy Page played Kashmir.</p>"
+        "</block></body></nitf>"
+    )
+    TEI = (
+        "<TEI xmlns=\"http://www.tei-c.org/ns/1.0\" "
+        "xmlns:xml=\"http://www.w3.org/XML/1998/namespace\" "
+        "xml:id=\"bio123\"><teiHeader><title>ignored</title></teiHeader>"
+        "<text><body><div><p>Jimmy  Page was a guitarist.</p>"
+        "<p>He played <persName>Kashmir</persName>.</p></div></body></text>"
+        "</TEI>"
+    )
+
+    def test_extractors(self):
+        from aida_spark.sources.xml import (
+            extract_nyt,
+            extract_tei,
+            extract_trec,
+        )
+
+        doc_id, text = extract_trec(self.TREC)
+        assert doc_id == "FBIS3-10082"
+        assert "Jimmy Page played Kashmir at Knebworth." in text
+        assert "<" not in text
+
+        doc_id, text = extract_nyt(self.NYT)
+        assert doc_id == "9A0DE2"
+        assert "Page at Knebworth" in text  # every element is TEXT
+        assert "Jimmy Page played Kashmir." in text
+
+        doc_id, text = extract_tei(self.TEI)
+        assert doc_id == "bio123"
+        assert text == (
+            "Jimmy Page was a guitarist.\nHe played Kashmir."
+        )  # header excluded, whitespace normalized, persName inlined
+
+    def test_spark_reader_and_transcript_adapter(self, spark, tmp_path):
+        from aida_spark.sources.xml import (
+            read_xml_documents,
+            xml_documents_to_transcripts,
+        )
+
+        for i in range(3):
+            (tmp_path / f"d{i}.xml").write_text(
+                self.TREC.replace("FBIS3-10082", f"FBIS3-{i}")
+            )
+        docs = read_xml_documents(spark, str(tmp_path / "*.xml"), fmt="trec")
+        got = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert set(got) == {f"FBIS3-{i}" for i in range(3)}
+
+        turns = xml_documents_to_transcripts(docs)
+        rows = turns.collect()
+        assert {r["conv_id"] for r in rows} == set(got)
+        assert all(r["text"].strip() for r in rows)
+        # the adapter's output feeds the KG pipeline contract directly
+        assert set(turns.columns) >= {"conv_id", "turn_idx", "role", "text"}
+
+    def test_unknown_format_raises_and_missing_id_hashes(self, spark):
+        import pytest as _pytest
+
+        from aida_spark.sources.xml import read_xml_documents
+
+        with _pytest.raises(ValueError, match="unknown XML format"):
+            read_xml_documents(spark, "/nonexistent", fmt="alto")
+
+        df = spark.createDataFrame(
+            [("<DOC><TEXT>no docno here</TEXT></DOC>",)], "value string"
+        )
+        rows = read_xml_documents(spark, df, fmt="trec").collect()
+        assert rows[0]["doc_id"].startswith("doc_")
