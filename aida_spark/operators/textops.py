@@ -23,6 +23,7 @@ __all__ = [
     "stratified_sample",
     "mix_by_token_budget",
     "dedup_repeated_lines",
+    "unigram_nll_scores",
 ]
 
 # Compact closed-class marker words per language for the n-gram/stopword
@@ -397,4 +398,69 @@ def dedup_repeated_lines(
             .cast("long")
             .alias("n_removed"),
         )
+    )
+
+
+# --- corpus unigram-LM perplexity (CCNet-style quality signal) ---------
+
+def unigram_nll_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with the corpus as its
+    own training set: fit an add-k-smoothed UNIGRAM model over the
+    lowercased whitespace tokens of the whole corpus, then score each
+    document by its mean negative log-likelihood (natural log). Low NLL
+    = fluent/common language, high NLL = rare-token-heavy noise — the
+    standard perplexity-bucket filter, with the n-gram order reduced to
+    1 so the whole computation stays exact, closed-form and
+    SQL-mirrorable (no external LM).
+
+    p(w) = (count(w) + k) / (N + k*V);  unseen w -> k / (N + k*V).
+
+    Scale shape — pure Catalyst: one explode + hash-aggregate builds the
+    vocabulary counts (uniform word keys, map-side combine); the scoring
+    join is per (doc, word) with the per-doc aggregate partial-combined;
+    the two scalars (N, V) broadcast. Returns (id, n_tokens, mean_nll).
+    Degenerate (empty) docs score NULL-free 0.0 so threshold filters
+    stay total."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    tok = df.select(F.col(id_col).alias("id"), words.alias("w")).select(
+        "id", F.explode("w").alias("word")
+    )
+    vocab = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.select(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    doc_word = tok.groupBy("id", "word").agg(
+        F.count(F.lit(1)).alias("n_in_doc")
+    )
+    scored = (
+        doc_word.join(vocab, "word")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.sum("n_in_doc").cast("long").alias("n_tokens"),
+            (
+                -F.sum(
+                    F.col("n_in_doc")
+                    * F.log(
+                        (F.col("c") + F.lit(add_k))
+                        / (F.col("n_total") + F.lit(add_k) * F.col("v"))
+                    )
+                )
+                / F.sum("n_in_doc")
+            ).alias("mean_nll"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(scored, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("mean_nll"), F.lit(0.0)).alias("mean_nll"),
     )

@@ -1137,3 +1137,50 @@ def test_driver_contract_every_query_has_an_oracle():
     o = set(e.oracle_sql())
     assert q == o, (sorted(q - o), sorted(o - q))
     assert len(q) >= 33
+
+
+class TestUnigramNll:
+    def test_matches_python_reference_and_ranks_noise_higher(self, spark):
+        """Closed-form add-k unigram NLL vs a pure-python recomputation;
+        a rare-token doc must score strictly higher (worse) than a
+        common-token doc from the same corpus."""
+        import math
+        from collections import Counter
+
+        from aida_spark.operators.textops import unigram_nll_scores
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the mat"),
+            (3, "zxqv wmbrt kjpol qqzz"),  # rare-token noise
+            (4, ""),  # degenerate
+        ]
+        k = 0.5
+        toks = {i: t.lower().split() for i, t in rows}
+        counts = Counter(w for ws in toks.values() for w in ws)
+        n_total, v = sum(counts.values()), len(counts)
+
+        def nll(ws):
+            if not ws:
+                return 0.0
+            return -sum(
+                math.log((counts[w] + k) / (n_total + k * v)) for w in ws
+            ) / len(ws)
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["id"]: (r["n_tokens"], r["mean_nll"])
+            for r in unigram_nll_scores(df, add_k=k).collect()
+        }
+        for i, ws in toks.items():
+            assert got[i][0] == len(ws)
+            assert abs(got[i][1] - nll(ws)) < 1e-9, (i, got[i], nll(ws))
+        assert got[3][1] > got[1][1]  # noise scores worse
+        assert got[4] == (0, 0.0)
+
+    def test_plan_is_catalyst_only(self, spark):
+        from aida_spark.operators.textops import unigram_nll_scores
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = unigram_nll_scores(df)._jdf.queryExecution().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
