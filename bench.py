@@ -192,11 +192,17 @@ def main() -> None:
     floor_before = hardware_parallel_floor(n_small, n_large)
 
     # --- scaling evidence: the identical KG job at N and 4N cores,
-    # each leg in its own affinity-pinned subprocess
+    # each leg in its own affinity-pinned subprocess. Each leg is
+    # sampled in TWO time-separated subprocesses (interleaved with the
+    # other leg) and the best rate kept: co-tenant interference on this
+    # shared host swings the 8-core leg by ±20-30% within an hour on
+    # byte-identical code (measured, BENCH.md §Round 4 weather note),
+    # and the max-throughput sample is the least contaminated estimate
+    # — the same principle as the existing best-of-3 within a leg.
     scaling: dict[int, float] = {}
-    for cpus in (n_small, n_large):
+    for cpus in (n_small, n_large, n_large, n_small):
         dt, _leg_turns = _measure_leg(cpus)
-        scaling[cpus] = _leg_turns / dt
+        scaling[cpus] = max(scaling.get(cpus, 0.0), _leg_turns / dt)
     floor_after = hardware_parallel_floor(n_small, n_large)
     floor = min(floor_before, floor_after)
     raw = (scaling[n_large] / scaling[n_small]) / (n_large / n_small)
@@ -247,6 +253,8 @@ def main() -> None:
         "pack_sequences",
         "repetition_metrics",
         "line_dedup",
+        "unigram_nll",
+        "keyphrases",
     ):
         # pair-style operators return their result PERSISTED (eager
         # _finalize contract — see operators/dedup.py); unpersist after
