@@ -26,7 +26,12 @@ from pyspark.sql.types import (
 
 from ..pipeline import AidaPipeline
 
-__all__ = ["TRANSCRIPT_SCHEMA", "read_transcript_stream", "stream_triples"]
+__all__ = [
+    "TRANSCRIPT_SCHEMA",
+    "read_transcript_stream",
+    "stream_triples",
+    "stream_triples_with_views",
+]
 
 TRANSCRIPT_SCHEMA = StructType(
     [
@@ -64,6 +69,61 @@ def stream_triples(
         if batch_df.isEmpty():
             return
         pipeline.run(batch_df).write.mode("append").parquet(output_path)
+
+    writer = (
+        transcripts_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_triples_with_views(
+    pipeline: AidaPipeline,
+    transcripts_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    views_checkpoint,
+    views_path: str,
+    available_now: bool = True,
+):
+    """Continuous KG maintenance: per micro-batch, run the batch
+    pipeline, append the triples, then refresh the materialized KG
+    views INCREMENTALLY — the view partials recompute only for the
+    lineage buckets the batch's conversations hash into
+    (``kgviews.incremental_*`` over a ``lineage.BucketCheckpoint``),
+    so view-refresh cost tracks batch size, not accumulated-corpus
+    size. The refreshed views are snapshotted to
+    ``<views_path>/entity_cooccurrence`` and ``/entity_mention_stats``
+    after each batch (overwrite — they are small aggregates).
+
+    Restart semantics: Spark's streaming checkpoint gives exactly-once
+    triple appends; the view checkpoint re-derives dirty buckets from
+    the accumulated triple table's content fingerprints, so a replayed
+    batch converges to the same views (idempotent).
+
+    Returns the StreamingQuery."""
+    from ..operators.kgviews import (
+        incremental_entity_cooccurrence,
+        incremental_entity_mention_stats,
+    )
+
+    spark = transcripts_stream.sparkSession
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.run(batch_df).write.mode("append").parquet(output_path)
+        triples = spark.read.parquet(output_path)
+        cooc = incremental_entity_cooccurrence(views_checkpoint, triples)
+        cooc.write.mode("overwrite").parquet(
+            f"{views_path}/entity_cooccurrence"
+        )
+        stats = incremental_entity_mention_stats(views_checkpoint, triples)
+        stats.write.mode("overwrite").parquet(
+            f"{views_path}/entity_mention_stats"
+        )
 
     writer = (
         transcripts_stream.writeStream.foreachBatch(process)

@@ -276,3 +276,81 @@ def test_windowed_counts_stream_matches_batch_with_late_rows(spark, tmp_path):
         for r in windowed_event_counts(spark.createDataFrame(pdf)).collect()
     }
     assert got == expected
+
+
+def test_stream_with_incremental_views_matches_batch_views(spark, tmp_path):
+    """Continuous KG maintenance: per-micro-batch incremental view
+    refresh must end bit-identical to batch views over the full triple
+    table, and the second wave must rebuild only its own buckets'
+    partials (lineage input_hash changes bounded by the wave's
+    conversations)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aida_spark.lineage import BucketCheckpoint
+    from aida_spark.operators.kgviews import (
+        entity_cooccurrence,
+        entity_mention_stats,
+    )
+    from aida_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        stream_triples_with_views,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    views = str(tmp_path / "views")
+    os.makedirs(in_dir)
+
+    pdf = synth_transcripts(6, 4, seed=31)
+    spark.createDataFrame(pdf).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    ).write.mode("overwrite").parquet(in_dir)
+
+    pipe = AidaPipeline(spark, kb_tables(), PipelineConfig())
+    vckpt = BucketCheckpoint(
+        spark, str(tmp_path / "vckpt"), n_buckets=16, key_col="conv"
+    )
+    q = stream_triples_with_views(
+        pipe, read_transcript_stream(spark, in_dir), out_dir, ckpt,
+        vckpt, views,
+    )
+    q.awaitTermination(300)
+    lineage1 = {
+        r["_bucket"]: r["input_hash"]
+        for r in vckpt.lineage("kgview_cooc").collect()
+    }
+
+    # second wave: one new conversation
+    spark.createDataFrame(golden_transcript()).withColumn(
+        "turn_idx", F.col("turn_idx").cast("int")
+    ).write.mode("append").parquet(in_dir)
+    q2 = stream_triples_with_views(
+        pipe, read_transcript_stream(spark, in_dir), out_dir, ckpt,
+        vckpt, views,
+    )
+    q2.awaitTermination(300)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    triples = spark.read.parquet(out_dir)
+    assert canon(
+        spark.read.parquet(f"{views}/entity_cooccurrence")
+    ) == canon(entity_cooccurrence(triples))
+    assert canon(
+        spark.read.parquet(f"{views}/entity_mention_stats")
+    ) == canon(entity_mention_stats(triples))
+
+    # incrementality: the golden conversation touches exactly one bucket
+    lineage2 = {
+        r["_bucket"]: r["input_hash"]
+        for r in vckpt.lineage("kgview_cooc").collect()
+    }
+    changed = [
+        b for b in set(lineage1) | set(lineage2)
+        if lineage1.get(b) != lineage2.get(b)
+    ]
+    assert len(changed) == 1
