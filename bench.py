@@ -19,9 +19,13 @@ Scaling methodology (single shared box, calibrated over many runs):
   scale as 4x cores (4 waves per stage at either level) and AQE
   partition coalescing is off for this job — merging Python-heavy
   partitions by data size serializes UDF CPU unpredictably.
-- **Best-of-3 per leg**: the first full-size run pays one-time JIT and
-  allocation costs, and shared-host interference only ever slows a run
-  down, so the max-throughput run is the least contaminated estimate.
+- **Best-of-4 per leg, time-separated**: 2 timed repetitions in each of
+  2 interleaved subprocess samples per leg. The first full-size run pays
+  one-time JIT and allocation costs, and shared-host interference only
+  ever slows a run down, so the max-throughput sample is the least
+  contaminated estimate; the two subprocesses sample different minutes
+  because co-tenant interference was measured swinging the 8-core leg
+  ±20-30% within an hour on identical code (BENCH.md §Round 4).
 - **Hardware parallelism floor.** Even a pinned single box scales
   sub-linearly when neighbors are loud (hypervisor steal, shared memory
   bandwidth) — artifacts adding real NODES does not have. The bench
@@ -126,7 +130,7 @@ def hardware_parallel_floor(n_small: int, n_large: int) -> float:
 # one scaling leg (runs in an affinity-pinned subprocess)
 # ---------------------------------------------------------------------------
 
-def run_leg(cpus: int) -> None:
+def run_leg(cpus: int, reps: int = 3) -> None:
     os.sched_setaffinity(0, set(range(cpus)))
     from aida_spark.fixtures import kb_tables, synth_transcripts
     from aida_spark.pipeline import AidaPipeline, PipelineConfig
@@ -151,7 +155,7 @@ def run_leg(cpus: int) -> None:
     pipe = AidaPipeline(spark, kb_tables(), PipelineConfig(solve_buckets=256))
     pipe.run(transcripts.limit(50)).count()  # JIT/codegen + worker warmup
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.time()
         pipe.run(transcripts).count()
         dt = min(dt, time.time() - t0)
@@ -162,9 +166,9 @@ def run_leg(cpus: int) -> None:
     spark.stop()
 
 
-def _measure_leg(cpus: int) -> tuple[float, int]:
+def _measure_leg(cpus: int, reps: int = 3) -> tuple[float, int]:
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--leg", str(cpus)],
+        [sys.executable, os.path.abspath(__file__), "--leg", str(cpus), str(reps)],
         capture_output=True,
         text=True,
         check=True,
@@ -199,9 +203,11 @@ def main() -> None:
     # byte-identical code (measured, BENCH.md §Round 4 weather note),
     # and the max-throughput sample is the least contaminated estimate
     # — the same principle as the existing best-of-3 within a leg.
+    # 2 reps per subprocess x 2 subprocesses = 4 best-of samples per
+    # leg at roughly the single-subprocess-of-3 wall time
     scaling: dict[int, float] = {}
     for cpus in (n_small, n_large, n_large, n_small):
-        dt, _leg_turns = _measure_leg(cpus)
+        dt, _leg_turns = _measure_leg(cpus, reps=2)
         scaling[cpus] = max(scaling.get(cpus, 0.0), _leg_turns / dt)
     floor_after = hardware_parallel_floor(n_small, n_large)
     floor = min(floor_before, floor_after)
@@ -309,6 +315,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
-        run_leg(int(sys.argv[2]))
+        run_leg(int(sys.argv[2]),
+                int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     else:
         main()
