@@ -8,12 +8,14 @@ BASELINE.md "Scaling").
 
 Scaling methodology (single shared box, calibrated over many runs):
 
-- **Per-leg CPU affinity.** ``local[N]`` bounds task slots, not the JVM:
-  GC, shuffle and Arrow-serializer threads of a "4-core" run otherwise
-  borrow the 28 idle cores — flattering the small leg in a way four real
-  4-core machines never would. Each leg runs in a subprocess pinned with
-  ``sched_setaffinity`` to exactly N cores, so a "cluster size" owns its
-  cores and nothing else.
+- **Per-leg CPU affinity on the fastest vCPU window.** ``local[N]``
+  bounds task slots, not the JVM: GC, shuffle and Arrow-serializer
+  threads of a "4-core" run otherwise borrow the 28 idle cores —
+  flattering the small leg in a way four real 4-core machines never
+  would. Each leg runs in a subprocess pinned with ``sched_setaffinity``
+  to exactly N cores, chosen by probing same-size vCPU windows with a
+  pinned busy-loop (hypervisor placement makes same-size windows differ
+  by up to 30% and drift hourly; see _pick_cores).
 - **Identical job at both levels**: same input, same solve_buckets (a
   real job's bucketing is fixed at authoring time); shuffle partitions
   scale as 4x cores (4 waves per stage at either level) and AQE
@@ -130,8 +132,48 @@ def hardware_parallel_floor(n_small: int, n_large: int) -> float:
 # one scaling leg (runs in an affinity-pinned subprocess)
 # ---------------------------------------------------------------------------
 
+def _probe_core_window(cores: list[int]) -> int:
+    """Aggregate integer-ALU throughput of one pinned busy-loop process
+    per core over ~0.4 s — a placement probe, not a benchmark."""
+    def burn(core: int, q) -> None:
+        os.sched_setaffinity(0, {core})
+        t0 = time.time()
+        n = 0
+        x = 1
+        while time.time() - t0 < 0.4:
+            for _ in range(20_000):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            n += 20_000
+        q.put(n)
+
+    q = mp.Queue()
+    procs = [mp.Process(target=burn, args=(c, q)) for c in cores]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    return sum(q.get() for _ in cores)
+
+
+def _pick_cores(cpus: int) -> list[int]:
+    """Pin the leg to the FASTEST same-size vCPU window. This box's
+    vCPU-to-pCPU placement is visibly heterogeneous and drifts by the
+    hour (measured: the same 8-core Spark leg does 14.3k turns/s on
+    cores 8-15 vs 10.9k on 24-31 in the same minute; no SMT, single
+    NUMA node — pure hypervisor co-tenancy). Hard-coding cores 0..N-1
+    would attribute placement luck to the engine; probing costs ~2 s
+    per leg."""
+    total = os.cpu_count() or cpus
+    step = max(cpus, 8)
+    windows = [
+        list(range(s, s + cpus)) for s in range(0, total - cpus + 1, step)
+    ] or [list(range(cpus))]
+    return max(windows, key=_probe_core_window)
+
+
 def run_leg(cpus: int, reps: int = 3) -> None:
-    os.sched_setaffinity(0, set(range(cpus)))
+    cores = _pick_cores(cpus)
+    os.sched_setaffinity(0, set(cores))
     from aida_spark.fixtures import kb_tables, synth_transcripts
     from aida_spark.pipeline import AidaPipeline, PipelineConfig
     from aida_spark.session import get_spark
@@ -160,7 +202,9 @@ def run_leg(cpus: int, reps: int = 3) -> None:
         pipe.run(transcripts).count()
         dt = min(dt, time.time() - t0)
     print(
-        f"LEG_RESULT {json.dumps({'cpus': cpus, 'dt': dt, 'n_turns': n_turns})}",
+        "LEG_RESULT " + json.dumps(
+            {"cpus": cpus, "dt": dt, "n_turns": n_turns, "cores": cores}
+        ),
         flush=True,
     )
     spark.stop()
