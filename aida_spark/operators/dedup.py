@@ -41,6 +41,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "embedding_near_dups",
+    "remove_repeated_spans",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -556,3 +557,97 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return _finalize(result, sh)
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup at span granularity (the technique of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed on word-n-gram shards instead of a suffix
+    array): any word ``n``-gram occurring >= ``min_count`` times in the
+    CORPUS (across documents or within one) marks its ``n``-token span
+    for removal in every occurrence; overlapping marked spans union.
+    Returns (id, text_clean, n_tokens, n_removed_tokens) with row
+    parity (an entirely-repeated doc keeps its row, empty).
+
+    Compared to document/line-level dedup this removes the long
+    verbatim QUOTES and templated passages that survive both. The
+    suffix-array original removes repeats of length >= n at CHARACTER
+    resolution; the gram formulation removes the same spans whenever
+    the repeat is at least n whole words (shorter repeats stay — by
+    design, they are below the dedup threshold anyway).
+
+    Scale shape — pure Catalyst, no UDFs: one explode over per-doc
+    n-gram hashes (narrow transform like decontam's), a global
+    hash-aggregate on the uniformly distributed gram key (map-side
+    combined) filtered to repeated grams — a SMALL set by definition —
+    then the removal join on the gram hash and one per-doc reassembly
+    shuffle. Span coverage is an ``exists`` over the doc's repeated
+    start positions (quadratic only in a doc's REPEATED-gram count).
+    A gram-hash collision (p ~ distinct_grams/2^64) could clip an
+    innocent span; the driver oracle joins on gram STRINGS and would
+    catch it at test scale."""
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), words.alias("w"))
+    grams = base.filter(F.size("w") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("w"), i + 1, n))
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    starts = (
+        grams.join(repeated, "gram")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = base.join(starts, "id", "left").select(
+        "id",
+        "w",
+        F.coalesce(F.col("starts"), F.array().cast("array<int>")).alias(
+            "starts"
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - 1, F.lit(0))),
+            lambda t: F.struct(
+                t.alias("t"),
+                F.exists(
+                    F.col("starts"),
+                    lambda s: (s <= t) & (t < s + F.lit(n)),
+                ).alias("cut"),
+            ),
+        ),
+        lambda st: ~st.cut,
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.size("w") == 0, F.lit("")).otherwise(
+            F.array_join(
+                F.transform(kept, lambda st: F.element_at(F.col("w"), st.t + 1)),
+                " ",
+            )
+        ).alias("text_clean"),
+        F.size("w").cast("long").alias("n_tokens"),
+        F.when(F.size("w") == 0, F.lit(0)).otherwise(
+            F.size("w") - F.size(kept)
+        ).cast("long").alias("n_removed_tokens"),
+    )

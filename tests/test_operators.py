@@ -1184,3 +1184,64 @@ class TestUnigramNll:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         plan = unigram_nll_scores(df)._jdf.queryExecution().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestRepeatedSpans:
+    def test_repeated_span_removed_everywhere_and_matches_reference(
+        self, spark
+    ):
+        """Exact-substring span dedup (Lee et al. 2022, gram-based): a
+        repeated n-word passage disappears from EVERY occurrence (incl.
+        within one doc), overlapping marked spans union, short docs and
+        unique text pass through — all vs a pure-python reference."""
+        from aida_spark.operators.dedup import remove_repeated_spans
+
+        quote = "to be or not to be that is the question"  # 10 words
+        rows = [
+            (1, f"alpha beta {quote} gamma delta"),
+            (2, f"intro words here {quote} and a tail"),
+            (3, f"{quote} {quote}"),  # twice in ONE doc
+            (4, "totally unique words that repeat nowhere else at all"),
+            (5, "short doc"),
+            (6, ""),
+        ]
+        n, min_count = 10, 2
+        # pure-python reference
+        texts = {i: t.split() for i, t in rows}
+        from collections import Counter
+
+        cnt = Counter(
+            " ".join(ws[i : i + n])
+            for ws in texts.values()
+            for i in range(len(ws) - n + 1)
+        )
+        expected = {}
+        for d, ws in texts.items():
+            cut = set()
+            for i in range(max(len(ws) - n + 1, 0)):
+                if cnt[" ".join(ws[i : i + n])] >= min_count:
+                    cut.update(range(i, i + n))
+            keptw = [w for t, w in enumerate(ws) if t not in cut]
+            expected[d] = (" ".join(keptw), len(ws), len(ws) - len(keptw))
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_removed_tokens"])
+            for r in remove_repeated_spans(
+                df, n=n, min_count=min_count
+            ).collect()
+        }
+        assert got == expected
+        # sanity on the semantics themselves
+        assert got[1] == ("alpha beta gamma delta", 14, 10)
+        assert got[3][0] == "" and got[3][2] == 20
+        assert got[4][0] == rows[3][1]
+        assert got[5] == ("short doc", 2, 0)
+        assert got[6] == ("", 0, 0)
+
+    def test_plan_is_catalyst_only(self, spark):
+        from aida_spark.operators.dedup import remove_repeated_spans
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = remove_repeated_spans(df, n=2)._jdf.queryExecution().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
