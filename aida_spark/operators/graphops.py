@@ -32,7 +32,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "pagerank"]
 
 
 def _edge_fingerprint(edges: DataFrame, a: str, b: str) -> tuple[int, int]:
@@ -263,3 +263,75 @@ def dedup_clusters(
         (F.col("node") == F.col("component")).alias("keep"),
     )
     return _finalize(result, cc)
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """PageRank over the (by default undirected) graph — the classic KG
+    materialization for entity importance over the co-occurrence edge
+    view. Fixed ``n_iter`` power iterations (deterministic, no
+    convergence-threshold float drift across platforms); dangling nodes
+    redistribute their mass uniformly each iteration, so ranks sum to
+    ~1.0 throughout.
+
+    Scale shape: per iteration, one equi-join of ranks onto the edge
+    list (uniform node keys) + one sum-aggregate; ranks are eagerly
+    ``localCheckpoint``-ed per iteration (self-referential iterative
+    plans grow exponentially otherwise — see ``_star_rounds``); the
+    dangling-mass scalar is one tiny driver aggregate per iteration.
+    Returns (node, rank)."""
+    n_nodes_row = nodes.select(
+        F.countDistinct(F.col(node_col)).alias("n")
+    ).collect()[0]
+    n = int(n_nodes_row["n"])
+    if n == 0:
+        return nodes.select(
+            F.col(node_col).alias("node"), F.lit(0.0).alias("rank")
+        )
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+    e = e.filter(F.col("u") != F.col("v")).distinct()
+    out_deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e = e.join(out_deg, "u").localCheckpoint(eager=True)
+
+    all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    ranks = all_nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e["u"] == ranks["node"])
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        # dangling nodes (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.join(out_deg, ranks["node"] == out_deg["u"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            all_nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

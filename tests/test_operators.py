@@ -1245,3 +1245,55 @@ class TestRepeatedSpans:
         df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         plan = remove_repeated_spans(df, n=2)._jdf.queryExecution().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestPageRank:
+    def test_matches_pure_python_power_iteration(self, spark):
+        """Distributed PageRank (undirected, dangling-mass
+        redistribution, fixed iterations) vs a dense pure-python power
+        iteration on a seeded random graph with a dangling node."""
+        import random
+
+        from aida_spark.operators.graphops import pagerank
+
+        rng = random.Random(5)
+        n, damping, iters = 30, 0.85, 10
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+                )
+                if a != b
+            }
+        )
+        # node n-1 isolated -> dangling under the undirected expansion
+        edges = [(a, b) for a, b in edges if n - 1 not in (a, b)]
+
+        sym = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+        out = {}
+        for a, b in sym:
+            out.setdefault(a, set()).add(b)
+        ranks = {i: 1.0 / n for i in range(n)}
+        for _ in range(iters):
+            dangling = sum(r for i, r in ranks.items() if i not in out)
+            base = (1 - damping) / n + damping * dangling / n
+            new = {i: base for i in range(n)}
+            for a, nbrs in out.items():
+                share = ranks[a] / len(nbrs)
+                for b in nbrs:
+                    new[b] += damping * share
+            ranks = new
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edf = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                nodes, edf, damping=damping, n_iter=iters
+            ).collect()
+        }
+        assert set(got) == set(ranks)
+        for i in range(n):
+            assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
