@@ -305,6 +305,7 @@ def main() -> None:
         "line_dedup",
         "unigram_nll",
         "keyphrases",
+        "repeated_spans",
     ):
         # pair-style operators return their result PERSISTED (eager
         # _finalize contract — see operators/dedup.py); unpersist after
