@@ -132,9 +132,10 @@ def hardware_parallel_floor(n_small: int, n_large: int) -> float:
 # one scaling leg (runs in an affinity-pinned subprocess)
 # ---------------------------------------------------------------------------
 
-def _probe_core_window(cores: list[int]) -> int:
-    """Aggregate integer-ALU throughput of one pinned busy-loop process
-    per core over ~0.4 s — a placement probe, not a benchmark."""
+def _probe_core_window(cores: list[int]) -> tuple[int, dict[int, int]]:
+    """(aggregate, per-core) integer-ALU throughput of one pinned
+    busy-loop process per core over ~0.4 s — a placement probe, not a
+    benchmark."""
     def burn(core: int, q) -> None:
         os.sched_setaffinity(0, {core})
         t0 = time.time()
@@ -144,7 +145,7 @@ def _probe_core_window(cores: list[int]) -> int:
             for _ in range(20_000):
                 x = (x * 1103515245 + 12345) & 0x7FFFFFFF
             n += 20_000
-        q.put(n)
+        q.put((core, n))
 
     q = mp.Queue()
     procs = [mp.Process(target=burn, args=(c, q)) for c in cores]
@@ -152,23 +153,36 @@ def _probe_core_window(cores: list[int]) -> int:
         p.start()
     for p in procs:
         p.join()
-    return sum(q.get() for _ in cores)
+    per_core = dict(q.get() for _ in cores)
+    return sum(per_core.values()), per_core
 
 
 def _pick_cores(cpus: int) -> list[int]:
-    """Pin the leg to the FASTEST same-size vCPU window. This box's
-    vCPU-to-pCPU placement is visibly heterogeneous and drifts by the
-    hour (measured: the same 8-core Spark leg does 14.3k turns/s on
-    cores 8-15 vs 10.9k on 24-31 in the same minute; no SMT, single
-    NUMA node — pure hypervisor co-tenancy). Hard-coding cores 0..N-1
-    would attribute placement luck to the engine; probing costs ~2 s
-    per leg."""
+    """Pin the leg to cores from the FASTEST 8-wide vCPU window. This
+    box's vCPU-to-pCPU placement is heterogeneous and drifts hourly
+    (measured: the same 8-core Spark leg does 14.3k turns/s on cores
+    8-15 vs 10.9k on 24-31 in the same minute; per-core spread WITHIN a
+    window is another 25-35%; no SMT, single NUMA node — pure
+    hypervisor co-tenancy). Hard-coding cores 0..N-1 would attribute
+    placement luck to the engine.
+
+    Both legs draw from the SAME winning 8-core pool, and a smaller leg
+    takes the pool's MEDIAN-quality cores, not its best: letting the
+    2-core leg skim the two fastest cores of the box would overstate
+    the small "cluster" relative to the 8-core one in a way symmetric
+    real cluster nodes never see. Probing costs ~2 s per leg."""
     total = os.cpu_count() or cpus
-    step = max(cpus, 8)
+    pool = max(cpus, 8)
     windows = [
-        list(range(s, s + cpus)) for s in range(0, total - cpus + 1, step)
-    ] or [list(range(cpus))]
-    return max(windows, key=_probe_core_window)
+        list(range(s, s + pool)) for s in range(0, total - pool + 1, pool)
+    ] or [list(range(pool))]
+    probed = [(w, _probe_core_window(w)) for w in windows]
+    best_w, (_best_total, per_core) = max(probed, key=lambda t: t[1][0])
+    if cpus >= pool:
+        return best_w
+    ranked = sorted(best_w, key=lambda c: per_core[c], reverse=True)
+    mid = (len(ranked) - cpus) // 2
+    return sorted(ranked[mid : mid + cpus])
 
 
 def run_leg(cpus: int, reps: int = 3) -> None:
