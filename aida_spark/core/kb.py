@@ -67,6 +67,10 @@ class KBData:
         default_factory=dict
     )
     bigram_counts: dict[tuple[int, int], int] = field(default_factory=dict)
+    # M7 count-based importance (CountBasedImportance.java:28-40): an
+    # external per-entity count table (e.g. GND-style authority counts),
+    # min-max rescaled by scoring.entity_importance; empty = source off
+    gnd_counts: dict[str, int] = field(default_factory=dict)
 
     # ---- id helpers -------------------------------------------------
     def word_id(self, word: str) -> int:

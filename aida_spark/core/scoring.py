@@ -209,6 +209,41 @@ def rescale(value: float, lo: float, hi: float) -> float:
     return (value - lo) / (hi - lo)
 
 
+def entity_importance(kb: KBData, entity: str, source: str) -> float:
+    """M7 entity-importance sources (the EntityImportance hierarchy):
+
+    - ``"inlink_count"`` (InlinkCountImportance.java:30-45):
+      |inlinks| / collection size.
+    - ``"entity_rank"`` (AidaEntityImportance over the entity_rank
+      table): 1 - rank.
+    - ``"count_based"`` (alias ``"gnd_count"``;
+      CountBasedImportance.java:28-52 + MathUtil.rescale:14-30):
+      (count - min) / (max - min) over the GLOBAL count table
+      (``kb.gnd_counts``); min == max -> 1.0 (MathUtil.rescale:15-18);
+      out-of-range values clamp to 0.0/1.0 (:20-28); entities absent
+      from the table score 0.0 — "do not differentiate between a
+      missing entity and a 0 score" (:47-51). The min/max scan is
+      O(|table|) per call — hoist it if driving a large table with a
+      nonzero importance weight.
+    """
+    if source == "entity_rank":
+        return 1.0 - kb.entity_rank.get(entity, 1.0)
+    if source in ("count_based", "gnd_count"):
+        counts = kb.gnd_counts
+        if not counts or entity not in counts:
+            return 0.0
+        lo, hi = min(counts.values()), max(counts.values())
+        if lo == hi:
+            return 1.0
+        v = counts[entity]
+        if v < lo:
+            return 0.0
+        if v > hi:
+            return 1.0
+        return (v - lo) / float(hi - lo)
+    return len(kb.inlinks.get(entity, ())) / float(kb.collection_size)
+
+
 @dataclass
 class EnsembleWeights:
     """Weight configuration for the switched ensemble, defaults from
@@ -222,8 +257,9 @@ class EnsembleWeights:
     prior_threshold: float = 0.9
     # M7: optional entity-importance term (LINEAR_COMBINATION strategy,
     # EnsembleMES.java:190-201); source: "inlink_count" (InlinkCount
-    # Importance.java:30-45, |inlinks|/N) or "entity_rank" (1 - rank,
-    # AidaEntityImportance via entity_rank)
+    # Importance.java:30-45, |inlinks|/N), "entity_rank" (1 - rank,
+    # AidaEntityImportance via entity_rank), or "count_based" /
+    # "gnd_count" (CountBasedImportance.java, rescaled kb.gnd_counts)
     importance_weight: float = 0.0
     importance_source: str = "inlink_count"
 
@@ -315,11 +351,8 @@ class EnsembleScorer:
         else:
             sim = mi * w.mi_no_prior + idf * w.idf_no_prior
         if w.importance_weight > 0.0:
-            if w.importance_source == "entity_rank":
-                importance = 1.0 - self.kb.entity_rank.get(entity, 1.0)
-            else:
-                importance = len(self.kb.inlinks.get(entity, ())) / float(
-                    self.kb.collection_size
-                )
-            sim += importance * w.importance_weight
+            sim += (
+                entity_importance(self.kb, entity, w.importance_source)
+                * w.importance_weight
+            )
         return sim

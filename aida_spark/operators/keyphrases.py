@@ -190,22 +190,48 @@ KEYPHRASE_SCHEMA = StructType(
 
 
 def extract_keyphrases(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tags_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, phrase, start_word, n_words, family) — one narrow
-    Arrow-batched pass, no shuffle; aggregate downstream as needed."""
+    Arrow-batched pass, no shuffle; aggregate downstream as needed.
+
+    ``tags_col`` (optional) names an ``array<string>`` column of
+    per-word POS tags — one tag per whitespace word of ``text_col`` —
+    which then drive the pattern matching instead of the built-in
+    heuristic tagger. This is the swap-in path for a real tagger's
+    output (the reference uses Stanford NLP,
+    KeyphraseExtractor.java:120-135): tag upstream with any model, ship
+    the tags as a column, and the ported pattern machinery is
+    unchanged. A row whose tag count differs from its word count
+    raises (silently misaligned tags would corrupt phrase offsets)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            tag_iter = (
+                pdf[tags_col] if tags_col is not None else (None,) * len(pdf)
+            )
+            for doc_id, text, tags in zip(pdf[id_col], pdf[text_col], tag_iter):
                 words = _WORD_RE.findall(text or "")
-                for phrase, start, n, family in extract_noun_phrases(words):
+                if tags is not None:
+                    tags = list(tags)
+                    if len(tags) != len(words):
+                        raise ValueError(
+                            f"{tags_col!r}: {len(tags)} tags for "
+                            f"{len(words)} words in doc {doc_id!r}"
+                        )
+                for phrase, start, n, family in extract_noun_phrases(
+                    words, tags
+                ):
                     rows.append((str(doc_id), phrase, start, n, family))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in KEYPHRASE_SCHEMA.fields]
             )
 
-    return df.select(
-        F.col(id_col).cast("string").alias(id_col), F.col(text_col)
-    ).mapInPandas(run, KEYPHRASE_SCHEMA)
+    cols = [F.col(id_col).cast("string").alias(id_col), F.col(text_col)]
+    if tags_col is not None:
+        cols.append(F.col(tags_col))
+    return df.select(*cols).mapInPandas(run, KEYPHRASE_SCHEMA)

@@ -132,6 +132,21 @@ def entity_mention_stats(triples: DataFrame) -> DataFrame:
 # partial, not the full triple table.
 # ---------------------------------------------------------------------------
 
+def _require_conv_checkpoint(checkpoint) -> None:
+    """The bucket-partial merges below are exact ONLY when a
+    conversation lives in exactly one bucket, i.e. the checkpoint
+    buckets on the projected 'conv' column. Any other key silently
+    overcounts n_convs and drops cross-bucket co-occurrence pairs, so
+    reject it loudly (ADVICE r4)."""
+    if getattr(checkpoint, "key_col", None) != "conv":
+        raise ValueError(
+            "incremental KG views require a BucketCheckpoint with "
+            f"key_col='conv' (got {getattr(checkpoint, 'key_col', None)!r}): "
+            "the per-bucket partial aggregates merge exactly only when "
+            "each conversation hashes into a single bucket"
+        )
+
+
 def incremental_entity_cooccurrence(
     checkpoint,
     triples: DataFrame,
@@ -146,6 +161,7 @@ def incremental_entity_cooccurrence(
     final view sums partials. Bit-identical to the batch view (the cap
     and per-conv dedup run inside the bucket, where the whole
     conversation is visible)."""
+    _require_conv_checkpoint(checkpoint)
     t = triples.select(
         conv_of_subj().alias("conv"), F.col("obj").alias("entity")
     )
@@ -200,6 +216,7 @@ def incremental_entity_mention_stats(
     bucket) and the distinct surface SET (surfaces can repeat across
     buckets, so the merge re-distincts the union — the set is bounded by
     an entity's in-bucket surface diversity, dozens not millions)."""
+    _require_conv_checkpoint(checkpoint)
     t = triples.select(
         conv_of_subj().alias("conv"),
         F.col("obj").alias("entity"),
