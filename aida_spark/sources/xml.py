@@ -18,8 +18,15 @@ Formats ported (each cites its Java source):
   simplified to plain paragraph text — documented divergence, those
   rules are specific to its NDB biography corpus).
 
-ALTO (OCR layout) and Spiegel are not ported (niche layout formats; the
-generic machinery accepts new extractors as plain functions).
+- ``alto`` — ALTO OCR layout XML (AltoPreparatorInputFormat.java:
+  100-151): ``<String CONTENT=...>`` tokens joined per ``<TextLine>``
+  (``<SP>`` = space, ``<HYP>`` hyphenation dropped, :101-116), one line
+  per TextLine. ALTO carries no in-document id (the reference receives
+  ``docId`` externally, :37) so the content-hash fallback applies.
+- ``spiegel`` — Spiegel magazine XML (SpiegelPreparatorInputFormat.java:
+  15-19,29-48): text from the ``absatz``/``vorspann``/``kurztitel``/
+  ``titel``/``beschriftung`` elements in document order, whitespace
+  compacted (``shouldCompactText``), id from ``<artikel-id>``.
 """
 
 from __future__ import annotations
@@ -37,6 +44,8 @@ __all__ = [
     "extract_trec",
     "extract_nyt",
     "extract_tei",
+    "extract_alto",
+    "extract_spiegel",
     "read_xml_documents",
     "xml_documents_to_transcripts",
 ]
@@ -96,10 +105,69 @@ def extract_tei(xml_str: str) -> tuple[str | None, str]:
     return doc_id, "\n".join(pp for pp in paras if pp)
 
 
+def extract_alto(xml_str: str) -> tuple[str | None, str]:
+    """(None, OCR text): per ``<TextLine>``, ``<String CONTENT>`` tokens
+    concatenated with ``<SP>`` as space and ``<HYP>`` dropped
+    (AltoPreparatorInputFormat.java:100-116 processLine); one output
+    line per TextLine (:120-127 processTextBlock appends a newline per
+    line). Divergence: the reference walks Layout/Page/PrintSpace/
+    ComposedBlock explicitly (:132-151) — well-formed ALTO keeps every
+    TextLine under that path, so iterating TextLines directly yields
+    the same text without the layout bookkeeping. No in-document id
+    (the reference takes docId as a parameter, :37) -> None, so
+    ``read_xml_documents``' content-hash fallback names the doc."""
+    root = ET.fromstring(xml_str)
+    lines: list[str] = []
+    for el in root.iter():
+        if _local(el.tag) != "TextLine":
+            continue
+        parts: list[str] = []
+        for child in el:
+            name = _local(child.tag).lower()
+            if name == "string":
+                parts.append(child.attrib.get("CONTENT", ""))
+            elif name == "sp":
+                parts.append(" ")
+            # HYP: hyphenation mark, dropped (reference appends "")
+        line = "".join(parts)
+        if line.strip():
+            lines.append(line)
+    return None, "\n".join(lines)
+
+
+_SPIEGEL_TEXT_ELEMENTS = (
+    "absatz", "vorspann", "kurztitel", "titel", "beschriftung",
+)
+
+
+def extract_spiegel(xml_str: str) -> tuple[str | None, str]:
+    """(artikel-id, compacted article text): text lives in the
+    ``absatz``/``vorspann``/``kurztitel``/``titel``/``beschriftung``
+    elements (SpiegelPreparatorInputFormat.java:15-19), collected in
+    document order with each element opening a new line (``absatz`` =
+    NEW_PARAGRAPH, :36-41) and whitespace compacted
+    (``shouldCompactText``, :72-74); the document id is the
+    ``<artikel-id>`` element's text (:46-48,76-83)."""
+    root = ET.fromstring(xml_str)
+    doc_id: str | None = None
+    parts: list[str] = []
+    for el in root.iter():
+        name = _local(el.tag).lower()
+        if name == "artikel-id" and doc_id is None:
+            doc_id = "".join(el.itertext()).strip() or None
+        elif name in _SPIEGEL_TEXT_ELEMENTS:
+            t = " ".join("".join(el.itertext()).split())
+            if t:
+                parts.append(t)
+    return doc_id, "\n".join(parts)
+
+
 _EXTRACTORS: dict[str, Callable[[str], tuple[str | None, str]]] = {
     "trec": extract_trec,
     "nyt": extract_nyt,
     "tei": extract_tei,
+    "alto": extract_alto,
+    "spiegel": extract_spiegel,
 }
 
 

@@ -129,6 +129,45 @@ class TestXmlSources:
             "Jimmy Page was a guitarist.\nHe played Kashmir."
         )  # header excluded, whitespace normalized, persName inlined
 
+    ALTO = (
+        "<alto xmlns=\"http://www.loc.gov/standards/alto/ns-v2#\">"
+        "<Layout><Page ID=\"Page1\"><PrintSpace>"
+        "<TextBlock><TextLine>"
+        "<String CONTENT=\"Jimmy\"/><SP/><String CONTENT=\"Page\"/><HYP/>"
+        "</TextLine><TextLine>"
+        "<String CONTENT=\"played\"/><SP/><String CONTENT=\"Kashmir.\"/>"
+        "</TextLine></TextBlock>"
+        "<ComposedBlock><TextBlock><TextLine>"
+        "<String CONTENT=\"At\"/><SP/><String CONTENT=\"Knebworth.\"/>"
+        "</TextLine></TextBlock></ComposedBlock>"
+        "</PrintSpace></Page></Layout></alto>"
+    )
+    SPIEGEL = (
+        "<artikel><metadaten><artikel-id>SP-1988-42-7</artikel-id>"
+        "</metadaten><inhalt><kurztitel>Rockgeschichte</kurztitel>"
+        "<titel>Page  in Knebworth</titel>"
+        "<vorspann>Ein Konzertbericht.</vorspann>"
+        "<absatz>Jimmy Page spielte Kashmir.</absatz>"
+        "<absatz>Das Festival war  ausverkauft.</absatz>"
+        "<fussnote>ignored footnote</fussnote></inhalt></artikel>"
+    )
+
+    def test_alto_and_spiegel_extractors(self):
+        from aida_spark.sources.xml import extract_alto, extract_spiegel
+
+        doc_id, text = extract_alto(self.ALTO)
+        assert doc_id is None  # ALTO has no in-document id
+        assert text == "Jimmy Page\nplayed Kashmir.\nAt Knebworth."
+
+        doc_id, text = extract_spiegel(self.SPIEGEL)
+        assert doc_id == "SP-1988-42-7"
+        # document order, one line per text element, whitespace
+        # compacted, non-text elements (fussnote) excluded
+        assert text == (
+            "Rockgeschichte\nPage in Knebworth\nEin Konzertbericht.\n"
+            "Jimmy Page spielte Kashmir.\nDas Festival war ausverkauft."
+        )
+
     def test_spark_reader_and_transcript_adapter(self, spark, tmp_path):
         from aida_spark.sources.xml import (
             read_xml_documents,
@@ -156,7 +195,7 @@ class TestXmlSources:
         from aida_spark.sources.xml import read_xml_documents
 
         with _pytest.raises(ValueError, match="unknown XML format"):
-            read_xml_documents(spark, "/nonexistent", fmt="alto")
+            read_xml_documents(spark, "/nonexistent", fmt="docbook")
 
         df = spark.createDataFrame(
             [("<DOC><TEXT>no docno here</TEXT></DOC>",)], "value string"
