@@ -97,7 +97,7 @@ N_SMALL, N_LARGE = int(_levels[0]), int(_levels[1])
 # time-separated pairs up to MAX while the best pair ratio is below
 # TARGET (extra samples in bad weather, never fewer in good)
 MIN_PAIRS = int(os.environ.get("SPARK_GRAFT_MIN_PAIRS", "3"))
-MAX_PAIRS = int(os.environ.get("SPARK_GRAFT_MAX_PAIRS", "5"))
+MAX_PAIRS = int(os.environ.get("SPARK_GRAFT_MAX_PAIRS", "4"))
 PAIR_TARGET = 0.82
 
 
