@@ -42,6 +42,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dups",
     "remove_repeated_spans",
+    "semantic_dedup",
 ]
 
 _MERSENNE = (1 << 61) - 1
@@ -687,3 +688,142 @@ def remove_repeated_spans(
         F.size("w").cast("long").alias("n_tokens"),
         (F.size("w") - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest centroid by
+    cosine, then within each cluster drop any item whose cosine to a
+    LOWER-id cluster member reaches ``threshold`` — exactly the paper's
+    upper-triangular pairwise sweep, with the row id as the (there:
+    random) cluster ordering, made deterministic. Returns one row per
+    input: (``id_col``, cluster, keep).
+
+    ``centroids`` may be a k x d numpy array (cluster ids 0..k-1 — e.g.
+    ``ivf_build(...).centers`` to reuse a trained IVF index), a SMALL
+    DataFrame with columns (cluster, centroid), or an int k (trains
+    spherical k-means on a bounded deterministic sample via the IVF
+    trainer). Centroids are collected to the driver (k rows — bounded by
+    construction, same contract as ``knn.ivf_query``'s centroid load)
+    and shipped as a broadcast literal, so cluster assignment is ONE
+    narrow Catalyst projection: no join, no shuffle, O(k*d) per row.
+
+    Scale notes (100-TB design point): the only shuffle is the
+    within-cluster self-join, which is quadratic in cluster size — that
+    cost is inherent to SemDeDup; size k so clusters hold the paper's
+    ~n/k target (k ~ sqrt(n) keeps total pair work ~ n^1.5). Cluster
+    sizes are data-dependent; a hot cluster (near-duplicate explosion)
+    is bounded upstream by ``exact_dedup`` exactly like the MinHash
+    pre-pass. Ties in the argmax go to the lowest cluster id on BOTH
+    engine and oracle sides.
+    """
+    import math
+
+    if isinstance(centroids, int):
+        from .knn import _train_centroids_sample
+
+        take = (
+            embeddings.select(
+                F.col(vec_col),
+                F.xxhash64(F.col(id_col), F.lit(7)).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(10_000)  # bounded deterministic sample, as in ivf_build
+            .collect()
+        )
+        centers = _train_centroids_sample(
+            np.array([r[0] for r in take], dtype=np.float64), centroids, 7
+        )
+        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+    elif isinstance(centroids, DataFrame):
+        cent_rows = [
+            (r["cluster"], [float(x) for x in r["centroid"]])
+            for r in centroids.select("cluster", "centroid").collect()
+        ]
+    else:  # numpy array k x d
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+        ]
+    cent_rows.sort(key=lambda t: t[0])  # argmax ties -> lowest cluster id
+    normed = []
+    for cid, vec in cent_rows:
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        normed.append((cid, [x / n for x in vec]))
+    cent_arr = F.array(
+        *[F.array(*[F.lit(x) for x in vec]) for _, vec in normed]
+    )
+    cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in normed])
+
+    nrm = F.sqrt(
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn(
+        "_nv",
+        F.transform(
+            F.col("_v"),
+            lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm),
+        ),
+    )
+    # argmax over the broadcast centroid literals in one fold:
+    # acc = (best cosine, its index, running index)
+    dot = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("_nv"), c, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    best = F.aggregate(
+        cent_arr,
+        F.struct(
+            F.lit(-2.0).alias("best"),
+            F.lit(0).alias("idx"),
+            F.lit(0).alias("i"),
+        ),
+        lambda acc, c: F.struct(
+            F.greatest(acc["best"], dot(c)).alias("best"),
+            F.when(dot(c) > acc["best"], acc["i"])
+            .otherwise(acc["idx"])
+            .alias("idx"),
+            (acc["i"] + F.lit(1)).alias("i"),
+        ),
+    )
+    from pyspark import StorageLevel
+
+    assigned = (
+        base.withColumn(
+            "cluster", F.element_at(cent_ids, best["idx"] + F.lit(1))
+        )
+        .select("id", "cluster", "_nv")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a._nv"), F.col("b._nv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    result = assigned.join(drops, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.col("_drop").isNull().alias("keep"),
+    )
+    return _finalize(result, assigned)

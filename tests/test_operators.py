@@ -1297,3 +1297,63 @@ class TestPageRank:
         for i in range(n):
             assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
         assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+class TestSemanticDedup:
+    def _two_cluster_corpus(self):
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        c0, c1 = np.eye(8)[0], np.eye(8)[1]
+        rows = []
+        for i in range(10):
+            base = c0 if i % 2 == 0 else c1
+            rows.append((i, (base + 0.05 * rng.standard_normal(8)).tolist()))
+        rows.append((100, list(rows[0][1])))  # exact dup of id 0
+        return rows, np.stack([c0, c1])
+
+    def test_matches_numpy_brute_force(self, spark):
+        """Planted two-cluster corpus + exact dup: assignment and the
+        lowest-id-greedy keep set must equal an independent dense numpy
+        sweep (the paper's algorithm verbatim)."""
+        import numpy as np
+
+        from aida_spark.operators.dedup import semantic_dedup
+
+        rows, cents = self._two_cluster_corpus()
+        out = {
+            r["vec_id"]: (r["cluster"], r["keep"])
+            for r in semantic_dedup(
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<double>"
+                ),
+                cents,
+                threshold=0.95,
+            ).collect()
+        }
+        ids = [r[0] for r in rows]
+        mat = np.stack([np.array(r[1]) for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = (mat @ cn.T).argmax(axis=1)
+        expected = {}
+        for i, vid in enumerate(ids):
+            drop = any(
+                ids[j] < vid
+                and assign[j] == assign[i]
+                and float(mat[i] @ mat[j]) >= 0.95
+                for j in range(len(ids))
+            )
+            expected[vid] = (int(assign[i]), not drop)
+        assert out == expected
+        assert out[100] == (0, False)  # the planted dup is dropped
+
+    def test_int_k_trains_centroids_and_keeps_uniques(self, spark, emb):
+        from aida_spark.operators.dedup import semantic_dedup
+
+        out = semantic_dedup(emb, 4, threshold=0.99)
+        n = emb.count()
+        assert out.count() == n
+        # random 64-dim vectors: nothing reaches cosine 0.99
+        assert out.filter(~F.col("keep")).count() == 0
+        assert out.select("cluster").distinct().count() <= 4
