@@ -426,6 +426,8 @@ def main() -> None:
         "unigram_nll",
         "keyphrases",
         "repeated_spans",
+        # r5 operator, benched from birth so its floor exists
+        "semantic_dedup",
     ):
         # pair-style operators return their result PERSISTED (eager
         # _finalize contract — see operators/dedup.py); unpersist after
