@@ -711,20 +711,23 @@ def semantic_dedup(
     spherical k-means on a bounded deterministic sample via the IVF
     trainer). Centroids are collected to the driver (k rows — bounded by
     construction, same contract as ``knn.ivf_query``'s centroid load)
-    and shipped as a broadcast literal, so cluster assignment is ONE
-    narrow Catalyst projection: no join, no shuffle, O(k*d) per row.
+    and broadcast into an Arrow-batched numpy assignment UDF (the
+    ``knn.ivf_build`` cell pattern): ONE narrow pass, no join, no
+    shuffle, a (batch x k) matmul per Arrow batch.
 
     Scale notes (100-TB design point): the only shuffle is the
-    within-cluster self-join, which is quadratic in cluster size — that
-    cost is inherent to SemDeDup; size k so clusters hold the paper's
-    ~n/k target (k ~ sqrt(n) keeps total pair work ~ n^1.5). Cluster
-    sizes are data-dependent; a hot cluster (near-duplicate explosion)
-    is bounded upstream by ``exact_dedup`` exactly like the MinHash
-    pre-pass. Ties in the argmax go to the lowest cluster id on BOTH
-    engine and oracle sides.
+    cluster-keyed ``applyInPandas`` that runs the paper's sweep as a
+    dense per-cluster ``M @ M.T`` — blockwise (4096 rows at a time), so
+    per-task memory is O(cluster x block), never O(cluster^2), and the
+    sweep is numpy throughout (the first cut as a Catalyst zip_with
+    self-join spent 6.5 s at sf0.1 interpreting ~10^8 lambda calls; this
+    form takes ~0.5 s, BENCH.md §Round 5). The quadratic pair work
+    itself is inherent to SemDeDup; size k so clusters hold the paper's
+    ~n/k target (k ~ sqrt(n) keeps total pair work ~ n^1.5). A hot
+    cluster (near-duplicate explosion) is bounded upstream by
+    ``exact_dedup`` exactly like the MinHash pre-pass. Ties in the
+    argmax go to the lowest cluster id on BOTH engine and oracle sides.
     """
-    import math
-
     if isinstance(centroids, int):
         from .knn import _train_centroids_sample
 
@@ -740,90 +743,56 @@ def semantic_dedup(
         centers = _train_centroids_sample(
             np.array([r[0] for r in take], dtype=np.float64), centroids, 7
         )
-        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
+        cent_rows = [(i, np.asarray(c, dtype=np.float64)) for i, c in enumerate(centers)]
     elif isinstance(centroids, DataFrame):
         cent_rows = [
-            (r["cluster"], [float(x) for x in r["centroid"]])
+            (r["cluster"], np.asarray(r["centroid"], dtype=np.float64))
             for r in centroids.select("cluster", "centroid").collect()
         ]
     else:  # numpy array k x d
         cent_rows = [
-            (i, [float(x) for x in c]) for i, c in enumerate(centroids)
+            (i, np.asarray(c, dtype=np.float64)) for i, c in enumerate(centroids)
         ]
     cent_rows.sort(key=lambda t: t[0])  # argmax ties -> lowest cluster id
-    normed = []
-    for cid, vec in cent_rows:
-        n = math.sqrt(sum(x * x for x in vec)) or 1.0
-        normed.append((cid, [x / n for x in vec]))
-    cent_arr = F.array(
-        *[F.array(*[F.lit(x) for x in vec]) for _, vec in normed]
+    cmat = np.stack([c for _, c in cent_rows])
+    cmat = cmat / np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
     )
-    cent_ids = F.array(*[F.lit(int(cid)) for cid, _ in normed])
+    cids = np.array([int(cid) for cid, _ in cent_rows], dtype=np.int64)
 
-    nrm = F.sqrt(
-        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: a + x * x)
-    )
+    @F.pandas_udf(LongType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        # numpy argmax takes the FIRST max -> lowest cluster id on ties
+        return pd.Series(cids[(mat @ cmat.T).argmax(axis=1)])
+
     base = embeddings.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn(
-        "_nv",
-        F.transform(
-            F.col("_v"),
-            lambda x: x / F.when(nrm == 0, F.lit(1.0)).otherwise(nrm),
-        ),
-    )
-    # argmax over the broadcast centroid literals in one fold:
-    # acc = (best cosine, its index, running index)
-    dot = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("_nv"), c, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    best = F.aggregate(
-        cent_arr,
-        F.struct(
-            F.lit(-2.0).alias("best"),
-            F.lit(0).alias("idx"),
-            F.lit(0).alias("i"),
-        ),
-        lambda acc, c: F.struct(
-            F.greatest(acc["best"], dot(c)).alias("best"),
-            F.when(dot(c) > acc["best"], acc["i"])
-            .otherwise(acc["idx"])
-            .alias("idx"),
-            (acc["i"] + F.lit(1)).alias("i"),
-        ),
-    )
-    from pyspark import StorageLevel
+    ).withColumn("cluster", assign_udf(F.col("_v")))
 
-    assigned = (
-        base.withColumn(
-            "cluster", F.element_at(cent_ids, best["idx"] + F.lit(1))
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1.0, norms)
+        n = len(mat)
+        drop = np.zeros(n, dtype=bool)
+        # drop[i] = any j < i with cos(i, j) >= t: pure upper-triangular
+        # scan (j's own drop status is irrelevant — the paper's triu
+        # sweep), so rows are independent -> blockwise matmul
+        for s in range(0, n, 4096):
+            e = min(s + 4096, n)
+            sims = mat[s:e] @ mat.T  # (block, n)
+            mask = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+            drop[s:e] = ((sims >= threshold) & mask).any(axis=1)
+        return pd.DataFrame(
+            {"id": pdf["id"], "cluster": pdf["cluster"], "keep": ~drop}
         )
-        .select("id", "cluster", "_nv")
-        .persist(StorageLevel.MEMORY_AND_DISK)  # self-join reads it twice
+
+    result = base.groupBy("cluster").applyInPandas(
+        _prune, "id long, cluster long, keep boolean"
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a._nv"), F.col("b._nv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    drops = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(cos >= F.lit(float(threshold)))
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
-    result = assigned.join(drops, "id", "left").select(
-        F.col("id").alias(id_col),
-        "cluster",
-        F.col("_drop").isNull().alias("keep"),
-    )
-    return _finalize(result, assigned)
+    return _finalize(result.withColumnRenamed("id", id_col))
