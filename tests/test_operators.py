@@ -1007,6 +1007,54 @@ class TestDecontam:
             find_contaminated(corpus, evals, n=8, min_matches=1).count() == 1
         )
 
+    def test_fuzzy_catches_reworded_eval_item(self, spark):
+        """A lightly reworded benchmark item shares NO verbatim word
+        8-gram with the eval set (the exact rule misses it) but keeps
+        high char-shingle jaccard (the fuzzy rule flags it); unrelated
+        text is flagged by neither."""
+        from aida_spark.operators.decontam import (
+            find_contaminated,
+            find_contaminated_fuzzy,
+        )
+
+        item = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "curious cat watches from the tall garden fence as evening "
+            "light settles across the quiet village square where "
+            "children play near the old stone well"
+        )
+        # a comma attached to every 7th word: every word 8-gram is
+        # broken (the token differs), but the character shingle set
+        # barely moves (jaccard ~0.79)
+        words = item.split()
+        for i in range(6, len(words), 7):
+            words[i] = words[i] + ","
+        reworded = " ".join(words)
+        corpus = spark.createDataFrame(
+            [
+                (1, reworded),
+                (2, "entirely unrelated text about shuffle partitions"),
+                (3, item),
+            ],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(100, item)], "eval_id long, text string"
+        )
+        exact = {
+            r["doc_id"]
+            for r in find_contaminated(corpus, evals, n=8).collect()
+        }
+        fuzzy = {
+            r["doc_id"]: r["jaccard"]
+            for r in find_contaminated_fuzzy(
+                corpus, evals, jaccard_threshold=0.7
+            ).collect()
+        }
+        assert exact == {3}  # verbatim copy only
+        assert set(fuzzy) == {1, 3}  # reworded copy caught too
+        assert fuzzy[3] == 1.0 and 0.7 <= fuzzy[1] < 1.0
+
 
 class TestPacking:
     def test_pack_sequences_matches_reference_greedy(self, spark):
