@@ -426,8 +426,9 @@ def main() -> None:
         "unigram_nll",
         "keyphrases",
         "repeated_spans",
-        # r5 operator, benched from birth so its floor exists
+        # r5 operators, benched from birth so their floors exist
         "semantic_dedup",
+        "decontam_fuzzy",
     ):
         # pair-style operators return their result PERSISTED (eager
         # _finalize contract — see operators/dedup.py); unpersist after
