@@ -1405,3 +1405,55 @@ class TestSemanticDedup:
         # random 64-dim vectors: nothing reaches cosine 0.99
         assert out.filter(~F.col("keep")).count() == 0
         assert out.select("cluster").distinct().count() <= 4
+
+
+class TestR5PlanShapes:
+    """Plan-shape regression gates for the r5 operators: shapes that
+    silently degrade at 100 TB must fail tests instead (the
+    plans/inspect.py pattern used for the KG pipeline)."""
+
+    def test_semantic_dedup_single_exchange_no_join(self, spark):
+        import numpy as np
+
+        from aida_spark.operators.dedup import semantic_dedup
+        from aida_spark.plans.inspect import physical_plan
+
+        rng = np.random.RandomState(0)
+        emb = spark.createDataFrame(
+            [(i, rng.standard_normal(8).tolist()) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = semantic_dedup(emb, np.eye(8)[:2], threshold=0.99)
+        plan = physical_plan(out)
+        # assignment is a narrow Arrow pass + ONE cluster shuffle into
+        # the grouped sweep — any join is a regression (the persisted
+        # result prints the plan twice, initial + AQE-final, so the
+        # single exchange may appear once per copy)
+        assert plan.count("Exchange") <= 2, plan[:2000]
+        assert "Join" not in plan, plan[:2000]
+        assert "FlatMapGroupsInPandas" in plan
+        out.unpersist()
+
+    def test_decontam_fuzzy_broadcasts_eval_side(self, spark):
+        from aida_spark.operators.decontam import find_contaminated_fuzzy
+        from aida_spark.plans.inspect import physical_plan
+
+        corpus = spark.createDataFrame(
+            [(i, f"corpus doc number {i} with some filler words") for i in range(30)],
+            "doc_id long, text string",
+        )
+        evals = spark.createDataFrame(
+            [(1, "corpus doc number 7 with some filler words")],
+            "eval_id long, text string",
+        )
+        out = find_contaminated_fuzzy(corpus, evals, jaccard_threshold=0.9)
+        plan = physical_plan(out)
+        # the eval side must broadcast on the banding keys (corpus
+        # filtered before any shuffle); a sort-merge join THERE means
+        # the corpus stream shuffled on banding output — a 100-TB
+        # regression. (The small candidate-side text-fetch join on
+        # doc_id may print as SMJ in the initial plan; AQE converts it
+        # at runtime — not asserted.)
+        assert "BroadcastHashJoin [band" in plan, plan[:2000]
+        assert "SortMergeJoin [band" not in plan, plan[:2000]
+        out.unpersist()
