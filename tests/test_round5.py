@@ -315,3 +315,53 @@ class TestIdempotentStreamAppend:
         # a genuinely new batch still appends
         write_triples_batch(pipe, batch, 1, out)
         assert spark.read.parquet(out).count() == 2 * n1
+
+
+class TestHttpService:
+    def test_golden_sentence_over_http(self, spark):
+        """S10 surface: POST the golden sentence to the stdlib HTTP
+        service and get the reference assignments back as JSON; bad
+        requests and unknown paths return 4xx without killing the
+        server."""
+        import json
+        import urllib.request
+
+        from aida_spark.fixtures import GOLDEN_SENTENCE, kb_tables
+        from aida_spark.service import serve
+
+        server = serve(spark, kb_tables(), port=0)
+        try:
+            base = f"http://127.0.0.1:{server.server_address[1]}"
+            with urllib.request.urlopen(f"{base}/health") as r:
+                assert json.load(r) == {"status": "ok"}
+            req = urllib.request.Request(
+                f"{base}/disambiguate",
+                data=json.dumps({"text": GOLDEN_SENTENCE}).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                results = json.load(r)["results"]
+            assert len(results) == 1
+            got = {a["mention"]: a["entity"] for a in results[0]}
+            assert got == {
+                "Page": "Jimmy_Page",
+                "Kashmir": "Kashmir_(song)",
+                "Knebworth": "Knebworth_Festival",
+            }
+            offsets = [a["char_offset"] for a in results[0]]
+            assert offsets == sorted(offsets)
+            # bad request -> 400, server stays up
+            bad = urllib.request.Request(
+                f"{base}/disambiguate", data=b"{}", method="POST"
+            )
+            try:
+                urllib.request.urlopen(bad)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            with urllib.request.urlopen(f"{base}/health") as r:
+                assert json.load(r)["status"] == "ok"
+        finally:
+            server.shutdown()
+            server.server_close()
