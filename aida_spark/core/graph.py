@@ -119,31 +119,36 @@ class DocGraph:
 
     def dijkstra(self, source: int) -> list[float]:
         """SSSP with edge distance = 1 - weight (ShortestPath.java:25-96)."""
-        n = len(self.adj)
+        adj = self.adj
+        removed = self.removed
+        push, pop = heapq.heappush, heapq.heappop
+        n = len(adj)
         dist = [INF] * n
         dist[source] = 0.0
         heap = [(0.0, source)]
         done = [False] * n
         while heap:
-            d, u = heapq.heappop(heap)
-            if done[u] or self.removed[u]:
+            d, u = pop(heap)
+            if done[u] or removed[u]:
                 continue
             done[u] = True
-            for v, w in self.adj[u].items():
-                if self.removed[v] or done[v]:
+            for v, w in adj[u].items():
+                if removed[v] or done[v]:
                     continue
                 nd = d + (1.0 - w)
                 if nd < dist[v]:
                     dist[v] = nd
-                    heapq.heappush(heap, (nd, v))
-        if self.removed[source]:
+                    push(heap, (nd, v))
+        if removed[source]:
             return [INF] * n
         return dist
 
     def closeness(self, source: int, removed: list[bool]) -> list[float]:
         """Dijkstra by distance, accumulating weight along the shortest-path
         tree (ShortestPath.closeness)."""
-        n = len(self.adj)
+        adj = self.adj
+        push, pop = heapq.heappush, heapq.heappop
+        n = len(adj)
         dist = [INF] * n
         close = [-INF] * n
         dist[source] = 0.0
@@ -151,18 +156,18 @@ class DocGraph:
         heap = [(0.0, source)]
         done = [False] * n
         while heap:
-            d, u = heapq.heappop(heap)
+            d, u = pop(heap)
             if done[u] or removed[u]:
                 continue
             done[u] = True
-            for v, w in self.adj[u].items():
+            for v, w in adj[u].items():
                 if removed[v] or done[v]:
                     continue
                 nd = d + (1.0 - w)
                 if nd < dist[v]:
                     dist[v] = nd
                     close[v] = close[u] + w
-                    heapq.heappush(heap, (nd, v))
+                    push(heap, (nd, v))
         return close
 
 

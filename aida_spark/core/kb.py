@@ -71,6 +71,13 @@ class KBData:
     # external per-entity count table (e.g. GND-style authority counts),
     # min-max rescaled by scoring.entity_importance; empty = source off
     gnd_counts: dict[str, int] = field(default_factory=dict)
+    # per-entity static scoring-context cache (scoring._EntityScoreContext):
+    # keyed by entity name, derived ONLY from the entity-level tables
+    # above, so it may be SHARED by every KBData built over the same
+    # entity tables (the Spark solve path passes one dict per bucket —
+    # a hot entity's keyphrase structures parse once per bucket, not
+    # once per conversation). Pure caching; scores are unchanged.
+    ectx_cache: dict = field(default_factory=dict)
 
     # ---- id helpers -------------------------------------------------
     def word_id(self, word: str) -> int:

@@ -55,7 +55,12 @@ class InvertedIndex:
     def contains(self, word: int, m_start: int, m_end: int) -> bool:
         if word not in self.nostop:
             return False
-        return any(p < m_start or p > m_end for p in self.full[word])
+        # positions are appended in ascending order, so "any position
+        # outside [m_start, m_end]" reduces to an O(1) check of the first
+        # and last position (identical result to the per-position scan —
+        # this is the innermost probe of the keyphrase match loop)
+        full = self.full[word]
+        return full[0] < m_start or full[-1] > m_end
 
     def positions(self, word: int, m_start: int, m_end: int) -> list[int]:
         """No-stopword-coordinate positions outside the mention span; the
@@ -298,7 +303,10 @@ class EnsembleScorer:
         self.best_prior: dict[int, float] = {}
         from .text import conflate
 
-        entity_ctx: dict[str, _EntityScoreContext] = {}
+        # entity contexts are cached on the KBData (shared per solve
+        # bucket in the Spark path — see KBData.ectx_cache): identical
+        # structures, parsed once per bucket instead of per conversation
+        entity_ctx = kb.ectx_cache
         for mi, m in enumerate(mentions):
             priors = kb.priors(conflate(m.surface))
             self.priors[mi] = priors

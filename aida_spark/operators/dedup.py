@@ -178,20 +178,43 @@ def minhash_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
+        # per-perm mixing (a*x + b) mod M with uint64 wraparound before
+        # the Mersenne mod: NOT textbook universal hashing, but a
+        # deterministic 64-bit mix is all MinHash banding needs here —
+        # reported pairs are decided by exact Jaccard, not the estimate
+        # (test_minhash_estimate_tracks_exact pins the estimate error).
+        # Vectorized ACROSS the batch (r6): shingle arrays concatenate
+        # into one slab, the (perm x shingle) mix runs on bounded slabs,
+        # and per-doc minima are segmented ``minimum.reduceat`` — the
+        # per-document numpy-call overhead dominated the old per-doc
+        # loop. Identical integer arithmetic, identical signatures.
         a_u = a_params
-        b_u = b_params
-        for t in texts:
-            sh = _shingle_hashes(t, shingle_k)
-            # per-perm mixing (a*x + b) mod M with uint64 wraparound before
-            # the Mersenne mod: NOT textbook universal hashing, but a
-            # deterministic 64-bit mix is all MinHash banding needs here —
-            # reported pairs are decided by exact Jaccard, not the estimate
-            # (test_minhash_estimate_tracks_exact pins the estimate error)
-            prod = np.multiply.outer(a_u, sh)  # uint64 wraparound
-            vals = (prod + b_u[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        b_u = b_params[:, None]
+        M = np.uint64(_MERSENNE)
+        shs = [_shingle_hashes(t, shingle_k) for t in texts]
+        n = len(shs)
+        if n == 0:
+            return pd.Series([])
+        out = np.empty((n, num_perm), dtype=np.int64)
+        # slab = a run of docs with ~<=1M total shingles: bounds the
+        # (num_perm x shingles) mix matrix at ~512 MB/64perm -> chunked
+        SLAB = 1 << 20
+        i = 0
+        while i < n:
+            j, tot = i, 0
+            while j < n and (tot == 0 or tot + len(shs[j]) <= SLAB):
+                tot += len(shs[j])
+                j += 1
+            flat = np.concatenate(shs[i:j])
+            lens = np.fromiter(
+                (len(s) for s in shs[i:j]), dtype=np.int64, count=j - i
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            vals = (np.multiply.outer(a_u, flat) + b_u) % M  # (perm, tot)
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (perm, docs)
+            out[i:j] = mins.T.astype(np.int64)
+            i = j
+        return pd.Series(list(out))
 
     return df.select(
         F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("signature")
@@ -424,7 +447,7 @@ def embedding_near_dups(
     batch's vector length (deterministic given the seed), so omitting it
     never costs a driver-side job.
     """
-    from .knn import cosine_sim_col, _hyperplanes
+    from .knn import cosine_sim_arrow, _hyperplanes
     import numpy as np
 
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -474,7 +497,7 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
     )
     result = (
-        cand.withColumn("sim", cosine_sim_col(F.col("va"), F.col("vb")))
+        cand.withColumn("sim", cosine_sim_arrow(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -73,7 +73,11 @@ def _star_rounds(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: the fingerprint aggregate right below is the
+        # materializing action, so checkpoint + fingerprint cost ONE
+        # Spark job per round instead of two (r6; the lineage truncation
+        # the checkpoint exists for happens on the logical plan at once)
+        .localCheckpoint(eager=False)
     )
     # initial fingerprint in (larger, smaller) column order to match the
     # per-round fingerprints below
@@ -106,7 +110,8 @@ def _star_rounds(
                 smins.select(F.col("c"), F.col("m").alias("p"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the
+            # fingerprint aggregate below — one job per round (r6)
         )
         cur = _edge_fingerprint(small, "c", "p")
         e = small.select(F.col("p").alias("u"), F.col("c").alias("v"))

@@ -1,10 +1,16 @@
 """Approximate / exact nearest-neighbor search over an embedding column
 (array<float>).
 
-- ``brute_force_topk``: exact cosine top-k. The dot product is
-  ``F.zip_with`` + ``F.aggregate`` — JVM-side, codegen'd. The query side is
-  broadcast, so the plan is a BroadcastNestedLoopJoin over a narrow scan:
-  at 100 TB the base table streams once, no shuffle of the big side.
+- ``brute_force_topk``: exact cosine top-k. The candidate scoring is an
+  Arrow-batched numpy kernel (``cosine_sim_arrow``): one BLAS-grade
+  row-wise dot per batch. The earlier ``zip_with`` + ``aggregate`` form
+  is kept as ``cosine_sim_col`` for SQL-expressible call sites, but note
+  that Catalyst evaluates higher-order-function lambdas INTERPRETED, per
+  element — measured ~6x slower than the Arrow kernel on the rerank
+  paths (the same lesson as semantic_dedup's r5 rewrite, BENCH.md §5).
+  The query side is broadcast, so the plan is a BroadcastNestedLoopJoin
+  over a narrow scan: at 100 TB the base table streams once, no shuffle
+  of the big side.
 - ``lsh_bucketed_topk``: random-hyperplane (sign) LSH — the scale path.
   Bucket ids are computed in one vectorized numpy pass (Arrow batch),
   candidates meet queries in an equi-join on bucket id, exact rerank
@@ -17,10 +23,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 __all__ = [
     "cosine_sim_col",
+    "cosine_sim_arrow",
     "brute_force_topk",
     "lsh_bucketed_topk",
     "ivf_topk",
@@ -36,7 +43,9 @@ __all__ = [
 
 def cosine_sim_col(a, b):
     """Cosine similarity between two array<float/double> columns, as a
-    Catalyst expression (zip_with dot product / norms)."""
+    Catalyst expression (zip_with dot product / norms). CAUTION: Catalyst
+    interprets HOF lambdas per element — use :func:`cosine_sim_arrow` on
+    candidate-volume paths (guide §4.2)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -46,6 +55,23 @@ def cosine_sim_col(a, b):
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return dot / (norm(a) * norm(b))
+
+
+@F.pandas_udf(DoubleType())
+def cosine_sim_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched exact cosine: one numpy pass per batch (row-wise dot
+    + norms) instead of ~3*dim interpreted Catalyst lambda calls per row.
+    Same math; float accumulation order differs from the sequential fold
+    only at the last-ulp level, far below the 1e-9 value rounding of the
+    oracle comparisons and the rank margins of the top-k paths."""
+    if len(a) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    A = np.stack(a.to_numpy())
+    B = np.stack(b.to_numpy())
+    dot = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    return pd.Series(dot / (na * nb))
 
 
 def brute_force_topk(
@@ -69,7 +95,7 @@ def brute_force_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.withColumn(
-        "sim", cosine_sim_col(F.col("qvec"), F.col("bvec"))
+        "sim", cosine_sim_arrow(F.col("qvec"), F.col("bvec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -185,7 +211,7 @@ def lsh_query(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", cosine_sim_col(F.col("qvec"), F.col("bvec")))
+    scored = cand.withColumn("sim", cosine_sim_arrow(F.col("qvec"), F.col("bvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -388,7 +414,7 @@ def ivf_query(
     cand = index.assigned.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cand.withColumn("sim", cosine_sim_col(F.col("qvec"), F.col("bvec")))
+    scored = cand.withColumn("sim", cosine_sim_arrow(F.col("qvec"), F.col("bvec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -131,6 +131,56 @@ class PipelineConfig:
     kb_artifact_dir: str | None = None
 
 
+class _MemoSet:
+    """Per-task membership memo over an expensive probe structure (the
+    blake2b-hashing ``kb_artifacts.SortedHashSet``): natural text repeats
+    tokens constantly, so most probes become one dict hit instead of a
+    fresh hash64+searchsorted (measured ~45% of stage-A spot CPU at bench
+    scale). Bounded: the memo resets if a task somehow sees more distinct
+    probes than _CAP (a per-task vocabulary that size would dwarf the
+    memo's own footprint anyway)."""
+
+    __slots__ = ("_base", "_memo")
+    _CAP = 1 << 21
+
+    def __init__(self, base):
+        self._base = base
+        self._memo: dict = {}
+
+    def __contains__(self, key) -> bool:
+        memo = self._memo
+        v = memo.get(key)
+        if v is None:
+            if len(memo) >= self._CAP:
+                memo.clear()
+            v = memo[key] = key in self._base
+        return v
+
+
+_MEMO_MISS = object()
+
+
+class _MemoMap:
+    """Per-bucket get() memo over ``kb_artifacts.CompactHashMap`` (same
+    rationale as :class:`_MemoSet` — one blake2b per DISTINCT token)."""
+
+    __slots__ = ("_base", "_memo")
+    _CAP = 1 << 21
+
+    def __init__(self, base):
+        self._base = base
+        self._memo: dict = {}
+
+    def get(self, key, default=None):
+        memo = self._memo
+        v = memo.get(key, _MEMO_MISS)
+        if v is _MEMO_MISS:
+            if len(memo) >= self._CAP:
+                memo.clear()
+            v = memo[key] = self._base.get(key)
+        return default if v is None else v
+
+
 MENTION_KEY_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),
@@ -272,9 +322,14 @@ class _EntityTables:
         "entity_kps", "kp_tokens", "kw_mi", "kw_idf", "kw_counts",
         "kp_counts", "entity_counts", "entity_kp_count",
         "entity_kw_count", "inlinks", "entity_types", "local_exp",
+        "ectx_cache",
     )
 
     def __init__(self, ent_cols: tuple):
+        # per-bucket scoring-context cache (KBData.ectx_cache): every
+        # conversation's KBData in this bucket shares it, so a hot
+        # entity's keyphrase structures are parsed once per bucket
+        self.ectx_cache: dict = {}
         entity_kps: dict[str, dict[int, None]] = {}
         kp_token_pos: dict[int, dict[int, int]] = {}
         self.kw_mi: dict[tuple[str, int], float] = {}
@@ -378,6 +433,7 @@ def _conv_kb(
         kw_mi_weights=ent.kw_mi,
         kw_idf_weights=ent.kw_idf,
         entity_types=ent.entity_types,
+        ectx_cache=ent.ectx_cache,
     )
 
 
@@ -466,8 +522,8 @@ class AidaPipeline:
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .kb_artifacts import load_hash_set
 
-            keys = load_hash_set(a_keys)
-            fw = load_hash_set(a_fw)
+            keys = _MemoSet(load_hash_set(a_keys))
+            fw = _MemoSet(load_hash_set(a_fw))
             for pdf in batches:
                 seen: set[tuple[str, str]] = set()
                 for conv_id, text in zip(pdf["conv_id"], pdf["text"]):
@@ -522,8 +578,8 @@ class AidaPipeline:
         def spot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .kb_artifacts import load_hash_set
 
-            keys = load_hash_set(a_keys)
-            fw = load_hash_set(a_fw)
+            keys = _MemoSet(load_hash_set(a_keys))
+            fw = _MemoSet(load_hash_set(a_fw))
             for pdf in batches:
                 rows = []
                 for conv_id, turn_idx, text in zip(
@@ -699,11 +755,16 @@ class AidaPipeline:
             ~3x per-core throughput on the 8-turn bench corpus)."""
             import numpy as np
 
+            from .kb_artifacts import load_hash_map
+
             rows: list[tuple] = []
             if turns_b.empty:
                 return pd.DataFrame(
                     {f.name: [] for f in ASSIGNMENT_SCHEMA.fields}
                 )
+            # one blake2b per DISTINCT token per bucket (not per token
+            # occurrence): the memo wraps the process-cached hash map
+            word2id = _MemoMap(load_hash_map(a_word_ids))
             t_codes, t_uniq = pd.factorize(turns_b["conv_id"], sort=False)
             t_order = np.argsort(t_codes, kind="stable")
             ti = turns_b["turn_idx"].to_numpy()[t_order]
@@ -760,7 +821,7 @@ class AidaPipeline:
                     slo, shi = span_ranges.get(conv_id, (0, 0))
                     conv_spans = tuple(c[slo:shi] for c in span_cols)
                 solve_conv(conv_id, ti[lo:hi], tx[lo:hi], conv_cand,
-                           ent_tables, rows, conv_spans)
+                           ent_tables, rows, word2id, conv_spans)
             return pd.DataFrame(
                 rows, columns=[f.name for f in ASSIGNMENT_SCHEMA.fields]
             )
@@ -770,15 +831,13 @@ class AidaPipeline:
         def solve_conv(
             conv_id, turn_ids, texts, cand_cols: tuple,
             ent_tables: "_EntityTables", rows: list,
-            conv_spans: tuple | None = None,
+            word2id, conv_spans: tuple | None = None,
         ) -> None:
             from .kb_artifacts import (
-                load_hash_map,
                 load_int_int_map,
                 load_int_set,
             )
 
-            word2id = load_hash_map(a_word_ids)
             kb = _conv_kb(
                 cand_cols,
                 ent_tables,
@@ -874,6 +933,16 @@ class AidaPipeline:
         # only the solver's columns ride the fan-in shuffle — role/tool/ts
         # would ship through the cogroup (and Arrow) for nothing
         turns_slim = transcripts.select("conv_id", "turn_idx", "text")
+        # Materialize the candidate rows ONCE: the solve plan consumes
+        # them through two branches (the tagged 'c' rows AND the
+        # per-bucket distinct-entity payload join), and without a
+        # materialization each branch re-executes the whole upstream —
+        # including the Python-heavy stage-A spot (measured: two ~105
+        # CPU-s mapInPandas stages per run at bench scale, r6 event-log
+        # profile). Eager localCheckpoint = one spot pass; blocks are
+        # reclaimed by the ContextCleaner when the run's frames are
+        # released (same contract as the ship_spans materialization).
+        candidates = candidates.localCheckpoint(eager=True)
         cand_b = candidates.withColumn("_sbucket", bucket)
         # stage C, bucket grain: each bucket's DISTINCT candidate entities
         # join the keyphrase bundles once — a hot entity spotted in a
@@ -956,10 +1025,24 @@ class AidaPipeline:
                     _null("string").alias("types_csv"),
                 )
             )
+        # One shuffle partition per solve bucket, explicitly (guide §2.5):
+        # the per-bucket SOLVE cost is Python CPU, for which shuffle-byte
+        # size is a bad proxy — with the exchange left to
+        # spark.sql.shuffle.partitions + AQE coalescing, 256 buckets
+        # collapse into defaultParallelism fat tasks and the stage runs as
+        # ONE wave whose wall time is the slowest task (measured at bench
+        # scale: 32 tasks, mean 8.1 s, max 11.6 s = stage wall). An
+        # explicit repartition by bucket (REPARTITION_BY_NUM — AQE never
+        # coalesces a user-specified partition count) yields one task per
+        # bucket, so the scheduler load-balances ~n_buckets/cores waves
+        # and the tail is one bucket, not a 1/cores slice of the corpus.
+        # Scale-adaptive by construction: n_buckets is the config's
+        # intended parallel grain (8x defaultParallelism when unset).
         return (
             turns_slim.withColumn("_sbucket", bucket)
+            .repartition(n_buckets, "_sbucket")
             .groupBy("_sbucket")
-            .cogroup(tagged.groupBy("_sbucket"))
+            .cogroup(tagged.repartition(n_buckets, "_sbucket").groupBy("_sbucket"))
             .applyInPandas(solve_bucket, ASSIGNMENT_SCHEMA)
         )
 
@@ -988,8 +1071,8 @@ class AidaPipeline:
         def spot_full(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .kb_artifacts import load_hash_set
 
-            keys = load_hash_set(a_keys)
-            fw = load_hash_set(a_fw)
+            keys = _MemoSet(load_hash_set(a_keys))
+            fw = _MemoSet(load_hash_set(a_fw))
             for pdf in batches:
                 rows = []
                 for conv_id, turn_idx, text in zip(
