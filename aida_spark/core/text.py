@@ -76,6 +76,11 @@ def parse_markup(text: str) -> tuple[str, list[tuple[int, int]]]:
     Returns (clean_text, manual_char_spans) where spans are (begin, end)
     character offsets of each marked mention in the clean text.
     """
+    if "[[" not in text:
+        # fast path: the markup regex requires a literal "[[", so a plain
+        # substring test skips the regex scan for the overwhelmingly
+        # common unmarked turn (identical result by construction)
+        return text, []
     spans: list[tuple[int, int]] = []
     out: list[str] = []
     pos = 0

@@ -119,13 +119,42 @@ class BucketCheckpoint:
         return self.spark.read.parquet(lin)
 
     # -- main entry ------------------------------------------------------
-    def materialize(self, stage: str, input_df: DataFrame, compute_fn) -> DataFrame:
+    def materialize(
+        self,
+        stage: str,
+        input_df: DataFrame,
+        compute_fn,
+        dirty_from: DataFrame | None = None,
+    ) -> DataFrame:
         """Compute ``compute_fn(bucketed_input)`` with bucket-level resume.
 
         ``compute_fn`` receives the bucketed input (including BUCKET_COL)
         and must return a DataFrame that retains BUCKET_COL (derive it from
         the same key column if the grain changes).
-        """
+
+        ``dirty_from`` (r6, VERDICT r5 #2) makes change DETECTION
+        O(batch) instead of O(corpus): when the caller knows exactly
+        which input rows changed since the last materialize (a streaming
+        micro-batch it just appended), passing them — same key column —
+        derives the dirty-bucket set from the hint's keys alone, so no
+        corpus-wide fingerprint scan runs. The dirty buckets' lineage
+        hashes are then recomputed from their CURRENT full content (the
+        same filtered slice the recompute itself reads, persisted so the
+        table is scanned once per refresh), which keeps them
+        content-derived — a replayed/overwritten batch still converges,
+        and a later hint-less (full-scan/repair) resume agrees with
+        them. Clean buckets keep their prior lineage rows verbatim.
+        The hint must COVER every changed bucket (missing one leaves a
+        stale partial — the same contract as naming the wrong key_col);
+        hint-less calls keep the exhaustive fingerprint scan and remain
+        the repair path. Falls back to the full path when no prior
+        lineage exists."""
+        if dirty_from is not None:
+            prior = self.lineage(stage)
+            if prior is not None:
+                return self._materialize_hinted(
+                    stage, input_df, compute_fn, dirty_from, prior
+                )
         data_path, lin_path = self._paths(stage)
         bucketed = self._bucket(input_df)
         current = self._fingerprints(bucketed).persist()
@@ -207,4 +236,86 @@ class BucketCheckpoint:
         )
         lineage_rows.write.mode("overwrite").parquet(lin_path)
         current.unpersist()
+        return data.drop(BUCKET_COL)
+
+    def _materialize_hinted(
+        self,
+        stage: str,
+        input_df: DataFrame,
+        compute_fn,
+        dirty_from: DataFrame,
+        prior: DataFrame,
+    ) -> DataFrame:
+        """Hinted refresh (see ``materialize``): dirty buckets come from
+        the hint's keys (one O(batch) distinct), fingerprints are taken
+        only over those buckets' current content, prior lineage rows of
+        clean buckets are carried over untouched."""
+        data_path, lin_path = self._paths(stage)
+        dirty_buckets = [
+            r[BUCKET_COL]
+            for r in self._bucket(dirty_from.select(self.key_col))
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()
+        ]
+        if not dirty_buckets:
+            from pyspark.errors import AnalysisException
+
+            try:
+                return self.spark.read.parquet(data_path).drop(BUCKET_COL)
+            except AnalysisException:
+                # prior lineage without readable data (all-empty prior
+                # run): repair through the exhaustive path
+                return self.materialize(stage, input_df, compute_fn)
+
+        bucketed = self._bucket(input_df)
+        to_compute = bucketed.filter(
+            F.col(BUCKET_COL).isin(dirty_buckets)
+        ).persist()
+        # exact content hashes of the dirty buckets (shares to_compute's
+        # one scan with the recompute below — no full-corpus fingerprint)
+        current = self._fingerprints(to_compute).persist()
+        self._delete_dirty_partitions(data_path, dirty_buckets)
+
+        t0 = time.time()
+        out = compute_fn(to_compute)
+        if BUCKET_COL not in out.columns:
+            out = self._bucket(out)
+        out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(data_path)
+        out_schema = out.schema
+        wall_ms = int((time.time() - t0) * 1000)
+
+        from pyspark.errors import AnalysisException
+
+        try:
+            data = self.spark.read.schema(out_schema).parquet(data_path)
+        except AnalysisException:
+            data = self.spark.createDataFrame([], out_schema)
+
+        # rows_out for the recomputed buckets only: the data table IS
+        # partitioned by bucket, so this read is partition-pruned
+        out_counts = (
+            data.filter(F.col(BUCKET_COL).isin(dirty_buckets))
+            .groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+        )
+        dirty_rows = current.join(out_counts, BUCKET_COL, "left").select(
+            F.lit(stage).alias("stage"),
+            F.col(BUCKET_COL),
+            "input_hash",
+            "rows_in",
+            F.coalesce(F.col("rows_out"), F.lit(0)).alias("rows_out"),
+            F.lit(wall_ms).alias("wall_ms"),
+            F.current_timestamp().alias("ts"),
+        )
+        clean_rows = prior.filter(~F.col(BUCKET_COL).isin(dirty_buckets))
+        lineage_rows = clean_rows.select(dirty_rows.columns).unionByName(
+            dirty_rows
+        )
+        # prior is read from lin_path — materialize the merge before the
+        # overwrite truncates its own source
+        merged = lineage_rows.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(lin_path)
+        current.unpersist()
+        to_compute.unpersist()
         return data.drop(BUCKET_COL)

@@ -73,15 +73,11 @@ def _star_rounds(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        # LAZY checkpoint: the fingerprint aggregate right below is the
-        # materializing action, so checkpoint + fingerprint cost ONE
-        # Spark job per round instead of two (r6; the lineage truncation
-        # the checkpoint exists for happens on the logical plan at once)
+        # LAZY checkpoint: round 1's convergence probe is the
+        # materializing action (the lineage truncation the checkpoint
+        # exists for happens on the logical plan immediately)
         .localCheckpoint(eager=False)
     )
-    # initial fingerprint in (larger, smaller) column order to match the
-    # per-round fingerprints below
-    prev = _edge_fingerprint(e, "v", "u")
     converged = False
     for _ in range(max_iter):
         # large-star: every neighbor v > u links to m = min(N(u) + {u});
@@ -97,7 +93,10 @@ def _star_rounds(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("c"), F.col("m").alias("p"))
             .filter(F.col("c") != F.col("p"))
-            .distinct()
+            # no distinct here (r6): row count stays bounded by |sym| (one
+            # row per oriented edge), the small-star min-aggregate is
+            # duplicate-insensitive, and the round's OUTPUT distinct below
+            # dedups — dropping it removes one shuffle per round
         )
         # small-star on the oriented (child, parent<child) list: all of a
         # child's parents collapse onto the minimum parent
@@ -111,14 +110,26 @@ def _star_rounds(
             )
             .distinct()
             .localCheckpoint(eager=False)  # materialized by the
-            # fingerprint aggregate below — one job per round (r6)
+            # convergence probe below — one job per round (r6)
         )
-        cur = _edge_fingerprint(small, "c", "p")
         e = small.select(F.col("p").alias("u"), F.col("c").alias("v"))
-        if cur == prev:
+        # Convergence = the edge set is already a star forest (no parent
+        # is itself a child), which is exactly the two-phase contraction's
+        # fixed point (Kiveris et al. §3: alternating rounds terminate on
+        # rooted stars). Detecting the star DIRECTLY fires the round the
+        # fixed point forms — the previous fingerprint-stability check
+        # needed one extra full round to observe "no change", plus a
+        # fingerprint job on the input (r6: both gone; one probe job per
+        # round, which also materializes the round's checkpoint).
+        nonroot_parent = (
+            small.select(F.col("p").alias("n"))
+            .join(small.select(F.col("c").alias("n")), "n", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if nonroot_parent == 0:
             converged = True
             break
-        prev = cur
     # e holds (root=u < node=v) star edges at convergence
     return e, converged
 
@@ -155,6 +166,12 @@ def connected_components(
     all_nodes = nodes.select(F.col(node_col).alias("node"))
 
     if method == "star":
+        # NOTE (r6): disabling AQE around this loop (the pagerank
+        # trick) was tried and MEASURED SLOWER (3.1 s -> 4.4 s at
+        # sf0.1): unlike pagerank's stable broadcast plan, the star
+        # rounds' self-joins then plan as full-width sort-merge joins
+        # (64-96 task stages on KB-sized data), costing more than the
+        # per-exchange adaptive re-planning saved. AQE stays on here.
         star_edges, converged = _star_rounds(canon, max_iter)
         if not converged:
             # check BEFORE persisting labels: when this raises nothing

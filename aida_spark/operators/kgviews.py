@@ -153,6 +153,7 @@ def incremental_entity_cooccurrence(
     min_convs: int = 1,
     max_entities_per_conv: int | None = 1000,
     stage: str = "kgview_cooc",
+    dirty_from: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally-maintained :func:`entity_cooccurrence`:
     per-bucket partial edge counts are materialized through a
@@ -160,10 +161,21 @@ def incremental_entity_cooccurrence(
     buckets whose triples changed recompute their partial — and the
     final view sums partials. Bit-identical to the batch view (the cap
     and per-conv dedup run inside the bucket, where the whole
-    conversation is visible)."""
+    conversation is visible).
+
+    ``dirty_from`` (r6): a triples DataFrame holding JUST the rows
+    appended since the last refresh (e.g. the streaming micro-batch's
+    own triples) — change detection then costs O(batch), not a
+    corpus-wide fingerprint scan (VERDICT r5 #2; see
+    ``lineage.BucketCheckpoint.materialize``)."""
     _require_conv_checkpoint(checkpoint)
     t = triples.select(
         conv_of_subj().alias("conv"), F.col("obj").alias("entity")
+    )
+    hint = (
+        dirty_from.select(conv_of_subj().alias("conv"))
+        if dirty_from is not None
+        else None
     )
 
     def compute(bucketed: DataFrame) -> DataFrame:
@@ -197,7 +209,7 @@ def incremental_entity_cooccurrence(
             .agg(F.count(F.lit(1)).alias("n_convs"))
         )
 
-    partial = checkpoint.materialize(stage, t, compute)
+    partial = checkpoint.materialize(stage, t, compute, dirty_from=hint)
     return (
         partial.groupBy("entity_a", "entity_b")
         .agg(F.sum("n_convs").cast("long").alias("n_convs"))
@@ -209,6 +221,7 @@ def incremental_entity_mention_stats(
     checkpoint,
     triples: DataFrame,
     stage: str = "kgview_stats",
+    dirty_from: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally-maintained :func:`entity_mention_stats`. Partial
     grain = (bucket, entity) with the in-bucket mention count, distinct
@@ -222,6 +235,11 @@ def incremental_entity_mention_stats(
         F.col("obj").alias("entity"),
         F.col("mention"),
     )
+    hint = (
+        dirty_from.select(conv_of_subj().alias("conv"))
+        if dirty_from is not None
+        else None
+    )
 
     def compute(bucketed: DataFrame) -> DataFrame:
         return bucketed.groupBy("_bucket", "entity").agg(
@@ -230,7 +248,7 @@ def incremental_entity_mention_stats(
             F.collect_set("mention").alias("surfaces"),
         )
 
-    partial = checkpoint.materialize(stage, t, compute)
+    partial = checkpoint.materialize(stage, t, compute, dirty_from=hint)
     counts = partial.groupBy("entity").agg(
         F.sum("n_mentions").cast("long").alias("n_mentions"),
         F.sum("n_convs").cast("long").alias("n_convs"),

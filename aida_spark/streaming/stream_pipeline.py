@@ -150,11 +150,24 @@ def stream_triples_with_views(
             return
         write_triples_batch(pipeline, batch_df, batch_id, output_path)
         triples = spark.read.parquet(output_path)
-        cooc = incremental_entity_cooccurrence(views_checkpoint, triples)
+        # O(batch) change detection (r6, VERDICT r5 #2): this batch's
+        # own partition — a partition-pruned read — is the dirty hint,
+        # so the view refresh no longer fingerprints the whole
+        # accumulated triple table per micro-batch. The hint covers
+        # every changed bucket by construction: only this batch's
+        # conversations were written (idempotent replays overwrite the
+        # same partition, and the hinted path re-hashes the dirty
+        # buckets' CURRENT content, so replays still converge).
+        batch_triples = triples.filter(F.col("_batch_id") == int(batch_id))
+        cooc = incremental_entity_cooccurrence(
+            views_checkpoint, triples, dirty_from=batch_triples
+        )
         cooc.write.mode("overwrite").parquet(
             f"{views_path}/entity_cooccurrence"
         )
-        stats = incremental_entity_mention_stats(views_checkpoint, triples)
+        stats = incremental_entity_mention_stats(
+            views_checkpoint, triples, dirty_from=batch_triples
+        )
         stats.write.mode("overwrite").parquet(
             f"{views_path}/entity_mention_stats"
         )

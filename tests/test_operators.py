@@ -97,6 +97,76 @@ class TestDedup:
         ).collect()
         assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
+    def test_ngram_prefix_filter_bounds_hot_gram(self, spark):
+        """Skew gate (VERDICT r5 #1): every doc shares one common
+        trigram, so the r5 full-inverted-index self-join would emit
+        ~n_docs^2/2 candidate rows on that single gram. With exact
+        prefix filtering the hot gram ranks last in the global
+        frequency order and leaves every doc's prefix: candidates must
+        stay proportional to TRUE near-pairs, and the reported pair set
+        must still exactly match a brute-force Jaccard check."""
+        import itertools
+
+        from aida_spark.operators.dedup import (
+            _ngram_prefix_candidates,
+            ngram_jaccard_pairs,
+        )
+
+        n_docs = 60
+        texts = {}
+        for i in range(n_docs):
+            # unique body per doc + ONE shared trailing trigram
+            body = f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g"
+            texts[i] = body + " common shared tail"
+        # two planted near-dup pairs (identical copies)
+        texts[1000] = texts[0]
+        texts[1001] = texts[7]
+        pdf = pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+        df = spark.createDataFrame(pdf)
+        t = 0.8
+        out = ngram_jaccard_pairs(df, n=3, threshold=t)
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        out.unpersist()
+        assert got == {(0, 1000), (7, 1001)}
+
+        # candidate volume: rebuild the operator's gram table and count
+        # prefix candidates — must be O(true pairs), not O(n_docs^2)
+        words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        grams = df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))
+                    ),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(words, i + 1, 3))
+                    ),
+                )
+            ).alias("gram"),
+        ).dropDuplicates(["id", "gram"])
+        n_cand = _ngram_prefix_candidates(grams, t).count()
+        # unfiltered: the shared gram alone gives C(62, 2) = 1891 rows
+        assert n_cand <= 10, n_cand
+
+        # brute-force ground truth over all pairs confirms exactness
+        def gramset(s):
+            w = s.lower().split()
+            return {
+                " ".join(w[i : i + 3])
+                for i in range(max(len(w) - 3 + 1, 1))
+            }
+
+        truth = set()
+        for a, b in itertools.combinations(sorted(texts), 2):
+            ga, gb = gramset(texts[a]), gramset(texts[b])
+            j = len(ga & gb) / len(ga | gb)
+            if j >= t:
+                truth.add((a, b))
+        assert got == truth
+
 
 class TestKnn:
     def test_bruteforce_topk_agrees_with_numpy(self, spark, emb):
