@@ -820,9 +820,15 @@ def semantic_dedup(
     form takes ~0.5 s, BENCH.md §Round 5). The quadratic pair work
     itself is inherent to SemDeDup; size k so clusters hold the paper's
     ~n/k target (k ~ sqrt(n) keeps total pair work ~ n^1.5). A hot
-    cluster (near-duplicate explosion) is bounded upstream by
-    ``exact_dedup`` exactly like the MinHash pre-pass. Ties in the
-    argmax go to the lowest cluster id on BOTH engine and oracle sides.
+    cluster (duplicate explosion) is bounded IN-OPERATOR since r6
+    (VERDICT r5 #4): bit-identical vectors collapse to their lowest-id
+    representative inside the sweep, so the quadratic pair work runs on
+    distinct vectors only (a planted 10k-copy cluster costs O(copies)
+    extra, not O(copies^2) — TestSemanticDedupHotCluster), and the
+    blockwise buffer adapts to cluster size (<= ~256 MB per task). An
+    upstream ``exact_dedup`` pre-pass remains worthwhile to keep the
+    SHUFFLE small. Ties in the argmax go to the lowest cluster id on
+    BOTH engine and oracle sides.
     """
     if isinstance(centroids, int):
         from .knn import _train_centroids_sample
@@ -849,6 +855,17 @@ def semantic_dedup(
         cent_rows = [
             (i, np.asarray(c, dtype=np.float64)) for i, c in enumerate(centroids)
         ]
+    cids_seen = [cid for cid, _ in cent_rows]
+    if len(set(cids_seen)) != len(cids_seen):
+        # duplicate ids would silently map two cmat rows to one cid and
+        # make the argmax assignment depend on which duplicate scores
+        # higher — the documented lowest-id tie rule would no longer
+        # describe behavior (ADVICE r5)
+        dupes = sorted({c for c in cids_seen if cids_seen.count(c) > 1})
+        raise ValueError(
+            f"semantic_dedup: duplicate cluster id(s) {dupes} in the "
+            "centroids input — cluster ids must be unique"
+        )
     cent_rows.sort(key=lambda t: t[0])  # argmax ties -> lowest cluster id
     cmat = np.stack([c for _, c in cent_rows])
     cmat = cmat / np.maximum(
@@ -869,21 +886,68 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("cluster", assign_udf(F.col("_v")))
 
+    def _sweep(mat: np.ndarray) -> np.ndarray:
+        """drop[i] = any j < i with cos(i, j) >= t over L2-normalized
+        rows: pure upper-triangular scan (j's own drop status is
+        irrelevant — the paper's triu sweep), so rows are independent
+        -> blockwise matmul. Block size adapts to the cluster so the
+        (block x n) sims buffer stays <= ~256 MB regardless of cluster
+        size (identical decisions — rows are independent)."""
+        n = len(mat)
+        drop = np.zeros(n, dtype=bool)
+        block = int(max(256, min(4096, (1 << 25) // max(n, 1))))
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            sims = mat[s:e] @ mat.T  # (block, n)
+            mask = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+            drop[s:e] = ((sims >= threshold) & mask).any(axis=1)
+        return drop
+
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
         mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         mat = mat / np.where(norms == 0, 1.0, norms)
         n = len(mat)
-        drop = np.zeros(n, dtype=bool)
-        # drop[i] = any j < i with cos(i, j) >= t: pure upper-triangular
-        # scan (j's own drop status is irrelevant — the paper's triu
-        # sweep), so rows are independent -> blockwise matmul
-        for s in range(0, n, 4096):
-            e = min(s + 4096, n)
-            sims = mat[s:e] @ mat.T  # (block, n)
-            mask = np.arange(n)[None, :] < np.arange(s, e)[:, None]
-            drop[s:e] = ((sims >= threshold) & mask).any(axis=1)
+        # In-operator hot-cluster bound (r6, VERDICT r5 #4): a
+        # duplicate-explosion cluster (the exact-dedup pre-pass is
+        # documented but was not enforced) made the sweep O(n^2) in the
+        # COPY count. Bit-identical normalized vectors are collapsed to
+        # their lowest-id representative first: every copy's cosine to
+        # its rep is ~1.0 (>= any practical threshold — guarded), so
+        # copies are dropped outright and the quadratic sweep runs on
+        # DISTINCT vectors only. Skipped for thresholds within 1e-6 of
+        # 1.0, where float cosine of identical vectors may not clear the
+        # bar — the plain full sweep decides those exactly as before.
+        if n > 1 and threshold <= 0.999999:
+            uniq, first_idx, inverse = np.unique(
+                mat, axis=0, return_index=True, return_inverse=True
+            )
+            if len(uniq) < n:
+                order = np.argsort(first_idx, kind="stable")
+                # unique vectors in ascending-rep-id order
+                umat = mat[np.sort(first_idx)]
+                drop_u = _sweep(umat)
+                # map each unique row back to its sweep position
+                pos_of_uniq = np.empty(len(uniq), dtype=np.int64)
+                pos_of_uniq[order] = np.arange(len(uniq))
+                sweep_pos = pos_of_uniq[inverse]
+                # a non-representative copy drops via its lower-id rep
+                # iff cos(copy, rep) = cos(rep, rep) clears the
+                # threshold — true (~1.0) for every vector EXCEPT the
+                # all-zero one, whose self-cosine is 0.0 under the
+                # zero-norm convention above (copies of the zero vector
+                # keep exactly as the full sweep keeps them)
+                self_sim = np.einsum("ij,ij->i", umat, umat)
+                copy_drop = (np.arange(n) != first_idx[inverse]) & (
+                    self_sim[sweep_pos] >= threshold
+                )
+                drop = drop_u[sweep_pos] | copy_drop
+                return pd.DataFrame(
+                    {"id": pdf["id"], "cluster": pdf["cluster"],
+                     "keep": ~drop}
+                )
+        drop = _sweep(mat)
         return pd.DataFrame(
             {"id": pdf["id"], "cluster": pdf["cluster"], "keep": ~drop}
         )

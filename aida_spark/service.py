@@ -78,6 +78,11 @@ def serve(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    # valid JSON that is not an object ([], "x", 42)
+                    # would otherwise TypeError at req["text"] and drop
+                    # the connection instead of returning 400 (ADVICE r5)
+                    raise ValueError("request body must be a JSON object")
                 texts = (
                     req["texts"]
                     if "texts" in req

@@ -1476,6 +1476,76 @@ class TestSemanticDedup:
         assert out.filter(~F.col("keep")).count() == 0
         assert out.select("cluster").distinct().count() <= 4
 
+    def test_duplicate_cluster_ids_raise(self, spark):
+        """ADVICE r5: duplicate centroid ids would silently make the
+        argmax tie rule undefined — must raise loudly."""
+        import numpy as np
+        import pytest as _pytest
+
+        from aida_spark.operators.dedup import semantic_dedup
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (0, [0.0, 1.0])],
+            "cluster long, centroid array<double>",
+        )
+        with _pytest.raises(ValueError, match="duplicate cluster id"):
+            semantic_dedup(emb, cents, threshold=0.9)
+
+    def test_hot_cluster_bounded(self, spark):
+        """VERDICT r5 #4: a planted 10k-copy cluster must complete with
+        the sweep bounded by DISTINCT vectors (the in-operator collapse),
+        and the keep decisions must equal the paper's full sweep: rep of
+        the copy pile keeps (lowest id), every copy drops, distinct
+        near-vectors decided by cosine as usual."""
+        import numpy as np
+
+        from aida_spark.operators.dedup import semantic_dedup
+
+        rng = np.random.RandomState(3)
+        v = rng.standard_normal(16)
+        rows = [(i, v.tolist()) for i in range(10_000)]  # 10k exact copies
+        # a few distinct vectors in the same cluster region
+        for j in range(5):
+            rows.append((20_000 + j, (v + 2.0 * rng.standard_normal(16)).tolist()))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(emb, np.stack([v]), threshold=0.9)
+        got = {r["vec_id"]: r["keep"] for r in out.collect()}
+        out.unpersist()
+        assert got[0] is True
+        assert all(got[i] is False for i in range(1, 10_000))
+        # distinct tail vectors: compare against a dense sweep
+        mat = np.stack([np.asarray(r[1]) for r in rows])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for j in range(5):
+            i = 10_000 + j
+            drop = any(float(mat[i] @ mat[k]) >= 0.9 for k in range(i))
+            assert got[20_000 + j] == (not drop)
+
+    def test_zero_vector_copies_keep_like_full_sweep(self, spark):
+        """The collapse's 'copies always drop' shortcut must NOT apply
+        to the all-zero vector, whose self-cosine is 0.0 under the
+        zero-norm convention: zero copies keep exactly as the full
+        sweep keeps them."""
+        import numpy as np
+
+        from aida_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (0, [0.0, 0.0, 0.0]),
+            (1, [0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [1.0, 0.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(emb, np.array([[1.0, 0.0, 0.0]]), threshold=0.9)
+        got = {r["vec_id"]: r["keep"] for r in out.collect()}
+        out.unpersist()
+        assert got == {0: True, 1: True, 2: True, 3: False}
+
 
 class TestR5PlanShapes:
     """Plan-shape regression gates for the r5 operators: shapes that
