@@ -117,38 +117,72 @@ class DocGraph:
     def live_neighbors(self, node: int):
         return (n for n in self.adj[node] if not self.removed[n])
 
-    def dijkstra(self, source: int) -> list[float]:
+    def live_snapshot(
+        self, removed: list[bool] | None = None
+    ) -> list[list[tuple[int, float, float]]]:
+        """Adjacency snapshot over live nodes as (neighbor, weight,
+        1.0 - weight) lists, valid while ``removed`` is unchanged. The
+        prune phases and the final closeness sweep run one SSSP per
+        mention over a FROZEN graph — sharing one snapshot replaces the
+        per-relaxation removed checks, dict iteration and the repeated
+        ``1.0 - w`` with a prebuilt list walk (identical arithmetic:
+        the same doubles relax in the same order, so distances, tree
+        parents and heap tie-breaks are bit-identical)."""
+        if removed is None:
+            removed = self.removed
+        return [
+            []
+            if removed[u]
+            else [
+                (v, w, 1.0 - w)
+                for v, w in nbrs.items()
+                if not removed[v]
+            ]
+            for u, nbrs in enumerate(self.adj)
+        ]
+
+    def dijkstra(
+        self,
+        source: int,
+        live: list[list[tuple[int, float, float]]] | None = None,
+    ) -> list[float]:
         """SSSP with edge distance = 1 - weight (ShortestPath.java:25-96)."""
-        adj = self.adj
-        removed = self.removed
+        if live is None:
+            live = self.live_snapshot()
         push, pop = heapq.heappush, heapq.heappop
-        n = len(adj)
+        n = len(live)
         dist = [INF] * n
         dist[source] = 0.0
         heap = [(0.0, source)]
         done = [False] * n
         while heap:
             d, u = pop(heap)
-            if done[u] or removed[u]:
+            if done[u]:
                 continue
             done[u] = True
-            for v, w in adj[u].items():
-                if removed[v] or done[v]:
+            for v, _w, c in live[u]:
+                if done[v]:
                     continue
-                nd = d + (1.0 - w)
+                nd = d + c
                 if nd < dist[v]:
                     dist[v] = nd
                     push(heap, (nd, v))
-        if removed[source]:
+        if self.removed[source]:
             return [INF] * n
         return dist
 
-    def closeness(self, source: int, removed: list[bool]) -> list[float]:
+    def closeness(
+        self,
+        source: int,
+        removed: list[bool],
+        live: list[list[tuple[int, float, float]]] | None = None,
+    ) -> list[float]:
         """Dijkstra by distance, accumulating weight along the shortest-path
         tree (ShortestPath.closeness)."""
-        adj = self.adj
+        if live is None:
+            live = self.live_snapshot(removed)
         push, pop = heapq.heappush, heapq.heappop
-        n = len(adj)
+        n = len(live)
         dist = [INF] * n
         close = [-INF] * n
         dist[source] = 0.0
@@ -157,16 +191,17 @@ class DocGraph:
         done = [False] * n
         while heap:
             d, u = pop(heap)
-            if done[u] or removed[u]:
+            if done[u]:
                 continue
             done[u] = True
-            for v, w in adj[u].items():
-                if removed[v] or done[v]:
+            cu = close[u]
+            for v, w, c in live[u]:
+                if done[v]:
                     continue
-                nd = d + (1.0 - w)
+                nd = d + c
                 if nd < dist[v]:
                     dist[v] = nd
-                    close[v] = close[u] + w
+                    close[v] = cu + w
                     push(heap, (nd, v))
         return close
 
@@ -407,7 +442,8 @@ class _Solver:
         """CP variant: drop entities whose mean finite distance to mentions
         exceeds the threshold (CocktailParty.removeInitialEntitiesByDistance)."""
         g = self.g
-        dists = {m: g.dijkstra(m) for m in self.mention_degrees}
+        live = g.live_snapshot()
+        dists = {m: g.dijkstra(m, live) for m in self.mention_degrees}
         to_remove: list[int] = []
         check_md: dict[int, int] = {}
         max_wd: dict[int, float] = {}
@@ -431,7 +467,8 @@ class _Solver:
         sum-of-squared distances (CocktailPartySizeConstrained.java:38-149)."""
         g = self.g
         cfg = self.cfg
-        dists = {m: g.dijkstra(m) for m in self.mention_degrees}
+        live = g.live_snapshot()
+        dists = {m: g.dijkstra(m, live) for m in self.mention_degrees}
         entity_distance: dict[int, float] = {}
         for node in list(self.entity_wd.keys()):
             if g.removed[node]:
@@ -521,11 +558,23 @@ def _exhaustive_search(
         for e in all_entities
     }
 
-    def weight(assign: tuple[int, ...]) -> float:
+    # bind the tables as defaults (locals) and align the ME dicts to the
+    # assignment order once — same additions in the same order, just
+    # without per-call closure/dict-key lookups
+    me_dicts = [me_w[m] for m in mention_ids]
+
+    def weight(
+        assign: tuple[int, ...],
+        me_dicts=me_dicts,
+        ee_w=ee_w,
+        zip=zip,
+        set=set,
+        len=len,
+    ) -> float:
         total = 0.0
         chosen = set(assign)
-        for m, e in zip(mention_ids, assign):
-            total += me_w[m][e]
+        for d, e in zip(me_dicts, assign):
+            total += d[e]
         for e in chosen:
             adj = ee_w[e]
             for s in chosen:
@@ -559,29 +608,31 @@ def _local_search(
     mention_ids = sorted(successors.keys())
     current = {m: successors[m][0] for m in mention_ids}
 
-    def weight(assign: dict[int, int]) -> float:
+    def weight(assign: dict[int, int], adj=g.adj, set=set, len=len) -> float:
         total = 0.0
         chosen = set(assign.values())
         for m, e in assign.items():
-            w = g.adj[m].get(e)
+            w = adj[m].get(e)
             if w is not None:
                 total += w
         for e in chosen:
-            for s, w in g.adj[e].items():
+            for s, w in adj[e].items():
                 if s in chosen and e < s:
                     total += w
         return total / len(chosen) if chosen else 0.0
 
     best = dict(current)
+    if not mention_ids:
+        return best
     best_w = weight(current)
+    randrange = rng.randrange
+    n_m = len(mention_ids)
     for _ in range(moves):
-        if not mention_ids:
-            break
-        m = mention_ids[rng.randrange(len(mention_ids))]
+        m = mention_ids[randrange(n_m)]
         cands = successors[m]
         if len(cands) <= 1:
             continue
-        e = cands[rng.randrange(len(cands))]
+        e = cands[randrange(len(cands))]
         old = current[m]
         current[m] = e
         w = weight(current)
@@ -621,15 +672,23 @@ def cocktail_party(
 
     # --- dangling-mention removal (CocktailParty.java:411-458)
     mentions_to_remove: set[int] = set()
+    nm = g.n_mentions
+    gadj = g.adj
     for mi in range(len(mentions)):
-        cands = g.adj[mi]
+        cands = gadj[mi]
         if not cands:
             continue
-        is_local = not any(
-            g.is_entity(nb)
-            for cand in cands
-            for nb in g.adj[cand]
-        )
+        # inlined "no candidate has an entity neighbor" scan (a node is an
+        # entity iff id >= n_mentions); short-circuits exactly like the
+        # original any() over the nested generator
+        is_local = True
+        for cand in cands:
+            for nb in gadj[cand]:
+                if nb >= nm:
+                    is_local = False
+                    break
+            if not is_local:
+                break
         if is_local:
             mentions_to_remove.add(mi)
             best_e, best_s = None, -1.0
@@ -717,8 +776,9 @@ def cocktail_party(
         final_entities = {
             n for n in range(g.n_mentions, len(g.adj)) if not g.removed[n]
         }
+        live_snap = g.live_snapshot()
         closeness: dict[int, list[float]] = {
-            m: g.closeness(m, g.removed) for m in live_mentions
+            m: g.closeness(m, g.removed, live_snap) for m in live_mentions
         }
         for m in live_mentions:
             alive = [

@@ -21,6 +21,45 @@ class MinCover:
     end_positions: list[int] = field(default_factory=list)
 
 
+def min_cover_length(positions: list[list[int]]) -> int:
+    """``min_cover(positions).length`` without building the window lists —
+    the scoring hot path only consumes the length. Same sweep, same
+    integer arithmetic, so the value is identical by construction."""
+    if not positions:
+        return -1
+    if len(positions) == 1:
+        return 1
+    k = len(positions)
+    heap: list[tuple[int, int]] = []
+    for sym, plist in enumerate(positions):
+        for p in plist:
+            heap.append((p, sym))
+    heapq.heapify(heap)
+    pop = heapq.heappop
+    covered = [-1] * k
+    covered_count = 0
+    while covered_count < k:
+        pos, sym = pop(heap)
+        if covered[sym] == -1:
+            covered_count += 1
+        covered[sym] = pos
+    lo = min(covered)
+    hi = max(covered)
+    best = hi - lo + 1
+    while best > k and heap:
+        pos, sym = pop(heap)
+        hi = pos
+        if covered[sym] == lo:
+            covered[sym] = pos
+            lo = min(covered)
+        else:
+            covered[sym] = pos
+        length = hi - lo + 1
+        if length < best:
+            best = length
+    return best
+
+
 def min_cover(positions: list[list[int]]) -> MinCover:
     mc = MinCover()
     if not positions:

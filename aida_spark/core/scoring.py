@@ -20,7 +20,7 @@ import math
 from dataclasses import dataclass
 
 from .kb import KBData
-from .mincover import min_cover
+from .mincover import min_cover_length
 from .text import SpottedMention
 
 __all__ = [
@@ -43,13 +43,24 @@ class InvertedIndex:
     """
 
     def __init__(self, token_ids: list[int], kb: KBData, remove_stopwords: bool = True):
-        self.full: dict[int, list[int]] = {}
-        self.nostop: dict[int, list[int]] = {}
+        full: dict[int, list[int]] = {}
+        nostop: dict[int, list[int]] = {}
+        self.full = full
+        self.nostop = nostop
         nostop_pos = 0
+        is_stopword = kb.is_stopword
         for pos, tok in enumerate(token_ids):
-            self.full.setdefault(tok, []).append(pos)
-            if not remove_stopwords or not kb.is_stopword(tok):
-                self.nostop.setdefault(tok, []).append(nostop_pos)
+            lst = full.get(tok)
+            if lst is None:
+                full[tok] = [pos]
+            else:
+                lst.append(pos)
+            if not remove_stopwords or not is_stopword(tok):
+                lst = nostop.get(tok)
+                if lst is None:
+                    nostop[tok] = [nostop_pos]
+                else:
+                    lst.append(nostop_pos)
                 nostop_pos += 1
 
     def contains(self, word: int, m_start: int, m_end: int) -> bool:
@@ -119,7 +130,7 @@ def keyphrase_similarity(
         isec = len(common_positions)
         if isec == 0:
             continue
-        cover = float(min_cover(common_positions).length)
+        cover = float(min_cover_length(common_positions))
         score = 0.0
         if all_score != 0.0:
             score = phrase_importance * (isec / cover) * (common_score / all_score) ** 2
@@ -165,16 +176,25 @@ def keyphrase_similarity_both(
     m_start, m_end = mention.start_token, mention.end_token
     sim_mi = 0.0
     sim_idf = 0.0
+    # inlined InvertedIndex.contains (the innermost probe): same two
+    # dict checks and the same O(1) first/last-position test, minus two
+    # function calls per keyword
+    nostop = index.nostop
+    full = index.full
     for kws, mi_all, idf_all in ectx.kps:
         common_positions: list[list[int]] = []
         mi_common = 0.0
         idf_common = 0.0
         for kw, expanded, w_mi, w_idf in kws:
             matched = -1
-            if index.contains(kw, m_start, m_end):
-                matched = kw
-            elif index.contains(expanded, m_start, m_end):
-                matched = expanded
+            if kw in nostop:
+                f = full[kw]
+                if f[0] < m_start or f[-1] > m_end:
+                    matched = kw
+            if matched == -1 and expanded in nostop:
+                f = full[expanded]
+                if f[0] < m_start or f[-1] > m_end:
+                    matched = expanded
             if matched != -1:
                 common_positions.append(index.positions(matched, m_start, m_end))
                 mi_common += w_mi
@@ -182,7 +202,7 @@ def keyphrase_similarity_both(
         isec = len(common_positions)
         if isec == 0:
             continue
-        cover = float(min_cover(common_positions).length)
+        cover = float(min_cover_length(common_positions))
         frac = isec / cover
         if mi_all != 0.0:
             s = mi_all * frac * (mi_common / mi_all) ** 2
@@ -284,6 +304,12 @@ class EnsembleScorer:
     ):
         self.kb = kb
         self.weights = weights
+        # per-instance memo of the per-mention prior switch: every
+        # similarity() call for the same mention repeats an O(#cands)
+        # scan otherwise. Safe per instance: each scorer's similarity
+        # calls all happen while the mention's candidate list is stable
+        # (candidate-reducing heuristics run between scorer lifetimes).
+        self._use_prior_memo: dict[int, bool] = {}
         if raw_from is not None:
             # The raw MI/IDF keyphrase scores depend only on the context and
             # candidates, not on the ensemble weights — share them between
@@ -334,18 +360,25 @@ class EnsembleScorer:
     def use_prior(self, mention_idx: int, mention: SpottedMention) -> bool:
         """Prior switch: bestPrior > threshold AND >= 20% of candidates have
         a prior (EnsembleMES.shouldIncludePrior, threshold hardcoded 0.2)."""
+        memo = self._use_prior_memo.get(mention_idx)
+        if memo is not None:
+            return memo
         w = self.weights
         if w.prior_threshold <= 0.0:
-            return True  # non-switched: prior always used
-        if self.best_prior[mention_idx] <= w.prior_threshold:
-            return False
-        cands = mention.candidates
-        if not cands:
-            return False
-        with_prior = sum(
-            1 for c, _p in cands if self.priors[mention_idx].get(c, 0.0) > 0.0
-        )
-        return (with_prior / len(cands)) >= 0.2
+            result = True  # non-switched: prior always used
+        elif self.best_prior[mention_idx] <= w.prior_threshold:
+            result = False
+        elif not mention.candidates:
+            result = False
+        else:
+            cands = mention.candidates
+            priors_get = self.priors[mention_idx].get
+            with_prior = sum(
+                1 for c, _p in cands if priors_get(c, 0.0) > 0.0
+            )
+            result = (with_prior / len(cands)) >= 0.2
+        self._use_prior_memo[mention_idx] = result
+        return result
 
     def similarity(self, mention_idx: int, mention: SpottedMention, entity: str) -> float:
         w = self.weights

@@ -153,13 +153,16 @@ def spot_mentions(
     """
     mentions: list[SpottedMention] = []
     covered: set[int] = set()
+    # hoist the token texts once: the n-gram probe loop below re-reads
+    # them constantly, and a plain list slice + join is C-speed
+    texts = [t.text for t in tokens]
 
     for begin, end in manual_spans:
         span = _align_span_to_tokens(tokens, begin, end)
         if span is None:
             continue
         s, e = span
-        surface = " ".join(t.text for t in tokens[s : e + 1])
+        surface = " ".join(texts[s : e + 1])
         mentions.append(
             SpottedMention(
                 surface=surface,
@@ -175,10 +178,10 @@ def spot_mentions(
     n = len(tokens)
     i = 0
     while i < n:
-        if i in covered or not tokens[i].text[:1].isupper():
+        if i in covered or not texts[i][:1].isupper():
             i += 1
             continue
-        if first_words is not None and tokens[i].text.upper() not in first_words:
+        if first_words is not None and texts[i].upper() not in first_words:
             # no dictionary key starts with this word: skip the n-gram
             # probes entirely (the common case on real text — most
             # uppercase-initial tokens are not entity-name starts)
@@ -186,14 +189,14 @@ def spot_mentions(
             continue
         match_end = -1
         for j in range(min(i + max_len, n) - 1, i - 1, -1):
-            if any(k in covered for k in range(i, j + 1)):
+            if not covered.isdisjoint(range(i, j + 1)):
                 continue
-            surface = " ".join(t.text for t in tokens[i : j + 1])
+            surface = " ".join(texts[i : j + 1])
             if conflate(surface) in mention_keys:
                 match_end = j
                 break
         if match_end >= 0:
-            surface = " ".join(t.text for t in tokens[i : match_end + 1])
+            surface = " ".join(texts[i : match_end + 1])
             mentions.append(
                 SpottedMention(
                     surface=surface,
@@ -218,24 +221,24 @@ def spot_mentions(
         # (NERManager.java:103-120).
         i = 0
         while i < n:
-            if i in covered or not tokens[i].text[:1].isupper():
+            if i in covered or not texts[i][:1].isupper():
                 i += 1
                 continue
             # sentence-initial function words ("When Pagee...") are not
             # part of a name run
-            if tokens[i].text.lower() in _FUNCTION_WORDS:
+            if texts[i].lower() in _FUNCTION_WORDS:
                 i += 1
                 continue
             j = i
             while (
                 j + 1 < n
                 and j + 1 not in covered
-                and tokens[j + 1].text[:1].isupper()
+                and texts[j + 1][:1].isupper()
                 and j + 1 - i < max_len
             ):
                 j += 1
-            surface = " ".join(t.text for t in tokens[i : j + 1])
-            if not (j == i and tokens[i].text.lower() in _FUNCTION_WORDS):
+            surface = " ".join(texts[i : j + 1])
+            if not (j == i and texts[i].lower() in _FUNCTION_WORDS):
                 mentions.append(
                     SpottedMention(
                         surface=surface,
