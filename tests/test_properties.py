@@ -11,7 +11,7 @@ import string
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from aida_spark.core.mincover import min_cover
+from aida_spark.core.mincover import min_cover, min_cover_length
 from aida_spark.core.scoring import normalize_to_sum, rescale
 from aida_spark.core.text import (
     conflate,
@@ -125,3 +125,17 @@ def test_min_cover_windows_contain_one_position_per_list(position_lists):
                 mc,
                 position_lists,
             )
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=6),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_min_cover_length_matches_full_min_cover(position_lists):
+    # the scoring hot path uses the list-free variant; it must agree with
+    # the full window computation on every input, including empty input
+    assert min_cover_length(position_lists) == min_cover(position_lists).length
